@@ -1,0 +1,345 @@
+"""Homomorphic evaluator: the TPU-native counterpart of SEAL's Evaluator.
+
+Every operation the reference backend invokes on ``evaluator()``
+(/root/reference include/engine/seal_context.h:38, used across
+src/benchmarks/**) exists here as a pure function on Ciphertext pytrees:
+add / sub / negate / multiply / multiply_plain / add_plain / relinearize /
+rescale_to_next / mod_switch_to / rotate / conjugate.  All functions accept
+arbitrary leading batch axes, so the reference's OpenMP loops over batch
+samples (SURVEY.md §2.3) become vmapped/broadcast batch dimensions that XLA
+tiles over the VPU, and shard over a mesh with pjit.
+
+Key switching (relinearize, rotations) implements RNS-decomposition hybrid
+switching over the single special modulus (see schemes/keys.py):
+
+    digits   d_i = [d]_{q_i}                 (iNTT, de-Montgomery)
+    lift     D_{i,j} = [d_i]_{q_j}, j ∈ live ∪ {special}   (Barrett)
+    NTT      per-target-modulus forward transforms
+    inner    (Σ_i D_{i,j}·ksk_b[i,j],  Σ_i D_{i,j}·ksk_a[i,j])
+    moddown  divide-and-round by P back to the live limbs
+
+The O(l²) per-switch NTT count is the dominant cost, exactly as SEAL's
+key-switch is on CPU; here all l² transforms batch into two fused
+stage-butterfly sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.schemes.core import Ciphertext, Plaintext
+from reference_seal_backend_tpu.schemes.keys import KeySet, SwitchKey
+from reference_seal_backend_tpu.schemes.params import Context
+
+_SCALE_RTOL = 1e-9
+
+
+def _check_binop(a: Ciphertext, b: Ciphertext):
+    if a.level != b.level:
+        raise ValueError(
+            f"level mismatch {a.level} != {b.level}; use mod_switch_to"
+        )
+    if abs(a.scale - b.scale) > _SCALE_RTOL * abs(a.scale):
+        raise ValueError(f"scale mismatch {a.scale} vs {b.scale}")
+
+
+class Evaluator:
+    def __init__(self, ctx: Context, keys: Optional[KeySet] = None):
+        self.ctx = ctx
+        self.keys = keys
+
+    # -- linear ops ---------------------------------------------------------
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        _check_binop(a, b)
+        p = self.ctx.p[: a.level]
+        if a.size == b.size:
+            data = modops.mod_add(a.data, b.data, p)
+        else:
+            big, small = (a, b) if a.size > b.size else (b, a)
+            head = modops.mod_add(
+                big.data[..., : small.size, :, :], small.data, p
+            )
+            data = jnp.concatenate(
+                [head, big.data[..., small.size :, :, :]], axis=-3
+            )
+        return replace(a, data=data)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        _check_binop(a, b)
+        p = self.ctx.p[: a.level]
+        if a.size != b.size:
+            raise NotImplementedError("sub of mismatched sizes")
+        return replace(a, data=modops.mod_sub(a.data, b.data, p))
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        return replace(a, data=modops.mod_neg(a.data, self.ctx.p[: a.level]))
+
+    def add_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if pt.level != a.level:
+            raise ValueError("plaintext level mismatch")
+        if abs(a.scale - pt.scale) > _SCALE_RTOL * abs(a.scale):
+            raise ValueError(f"scale mismatch {a.scale} vs {pt.scale}")
+        p = self.ctx.p[: a.level]
+        c0 = modops.mod_add(a.data[..., 0, :, :], pt.data, p)
+        data = jnp.concatenate(
+            [c0[..., None, :, :], a.data[..., 1:, :, :]], axis=-3
+        )
+        return replace(a, data=data)
+
+    def sub_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        p = self.ctx.p[: a.level]
+        c0 = modops.mod_sub(a.data[..., 0, :, :], pt.data, p)
+        data = jnp.concatenate(
+            [c0[..., None, :, :], a.data[..., 1:, :, :]], axis=-3
+        )
+        return replace(a, data=data)
+
+    # -- multiplicative ops (CKKS NTT-dyadic) -------------------------------
+
+    def multiply_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if pt.level != a.level:
+            raise ValueError("plaintext level mismatch")
+        l = a.level
+        p, pni = self.ctx.consts(0, l)
+        data = modops.mont_mul(a.data, pt.data, p, pni)
+        return replace(a, data=data, scale=a.scale * pt.scale)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """ct-ct multiply WITHOUT relinearization (3-component result),
+        matching the reference's bare ``evaluator->multiply`` in eltwise
+        (src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343)."""
+        _check_binop(a, b)
+        if a.size != 2 or b.size != 2:
+            raise NotImplementedError("multiply expects size-2 inputs")
+        l = a.level
+        p, pni = self.ctx.consts(0, l)
+        a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        b0, b1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+        c0 = modops.mont_mul(a0, b0, p, pni)
+        c2 = modops.mont_mul(a1, b1, p, pni)
+        cross = modops.mod_add(
+            modops.mont_mul(a0, b1, p, pni),
+            modops.mont_mul(a1, b0, p, pni),
+            p,
+        )
+        data = jnp.stack([c0, cross, c2], axis=-3)
+        return replace(a, data=data, scale=a.scale * b.scale)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.multiply(a, a)
+
+    # -- key switching core -------------------------------------------------
+
+    def _switch_targets(self, l: int):
+        ctx = self.ctx
+        sp = ctx.sp_row
+        cat = lambda arr: jnp.concatenate(
+            [arr[:l], arr[sp : sp + 1]], axis=0
+        )
+        return cat(ctx.p), cat(ctx.p_neg_inv), cat(ctx.mu)
+
+    def key_switch(
+        self, d: jnp.ndarray, key: SwitchKey, level: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Switch NTT-domain component ``d`` [..., l, N] to the base key.
+
+        Returns (kb, ka), each [..., l, N] NTT Montgomery — the additive
+        correction encrypting d·s_src under s.
+        """
+        ctx = self.ctx
+        l = level
+        sp = ctx.sp_row
+        # 1) digits: coefficient-domain normal-form residues per live limb.
+        d_coeff = ctx.plan.inv(d, lo=0)
+        d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
+        # 2) lift each source digit onto all targets (live ∪ special).
+        p_t, pni_t, mu_t = self._switch_targets(l)
+        lifted = modops.barrett_reduce_u32(
+            d_norm[..., :, None, :], p_t, mu_t
+        )  # [..., l_src, l+1, N]
+        # 3) forward NTT per target modulus (normal form stays normal).
+        data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
+        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=sp)
+        dig = jnp.concatenate([data_part, sp_part], axis=-2)
+        # 4) inner product with the switch key (double-Montgomery) and
+        #    accumulate over source digits.
+        b_sel = jnp.concatenate([key.b[:l, :l], key.b[:l, sp : sp + 1]], axis=1)
+        a_sel = jnp.concatenate([key.a[:l, :l], key.a[:l, sp : sp + 1]], axis=1)
+        tb = modops.mont_mul(dig, b_sel, p_t, pni_t)
+        ta = modops.mont_mul(dig, a_sel, p_t, pni_t)
+        acc_b = _mod_sum(tb, p_t, axis=-3)
+        acc_a = _mod_sum(ta, p_t, axis=-3)
+        # 5) divide-and-round by the special modulus.
+        kb = self._mod_down_special(acc_b, l)
+        ka = self._mod_down_special(acc_a, l)
+        return kb, ka
+
+    def _mod_down_special(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
+        """[..., l+1, N] (live + special rows, NTT Mont) -> [..., l, N]
+        Montgomery form of round(x / P)."""
+        ctx = self.ctx
+        sp = ctx.sp_row
+        v_mont = ctx.plan.inv(x[..., l:, :], lo=sp)
+        v = modops.from_mont(
+            v_mont, ctx.p[sp : sp + 1], ctx.p_neg_inv[sp : sp + 1]
+        )  # [..., 1, N] in [0, P)
+        flag = (v > ctx.div_half[sp]).astype(jnp.uint32)
+        w = modops.mod_sub(
+            modops.barrett_reduce_u32(v, ctx.p[:l], ctx.mu[:l]),
+            flag * ctx.div_mod[sp, :l][:, None],
+            ctx.p[:l],
+        )  # centered lift, [..., l, N] normal form
+        w_ntt = ctx.plan.fwd(w, lo=0)
+        inv1 = ctx.div_inv_mont[sp, :l][:, None]
+        inv2 = ctx.div_inv_mont2[sp, :l][:, None]
+        p, pni = ctx.consts(0, l)
+        return modops.mod_sub(
+            modops.mont_mul(x[..., :l, :], inv1, p, pni),
+            modops.mont_mul(w_ntt, inv2, p, pni),
+            p,
+        )
+
+    def relinearize(self, a: Ciphertext) -> Ciphertext:
+        if a.size == 2:
+            return a
+        if a.size != 3:
+            raise NotImplementedError("relinearize expects size <= 3")
+        if self.keys is None or self.keys.relin is None:
+            raise ValueError("no relinearization key")
+        l = a.level
+        p = self.ctx.p[:l]
+        kb, ka = self.key_switch(a.data[..., 2, :, :], self.keys.relin, l)
+        c0 = modops.mod_add(a.data[..., 0, :, :], kb, p)
+        c1 = modops.mod_add(a.data[..., 1, :, :], ka, p)
+        return replace(a, data=jnp.stack([c0, c1], axis=-3))
+
+    # -- level / scale management ------------------------------------------
+
+    def _drop_one_scaled(self, data: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Divide-and-round NTT-domain data [..., l, N] by prime l-1."""
+        ctx = self.ctx
+        drop = l - 1
+        v_mont = ctx.plan.inv(data[..., drop:l, :], lo=drop)
+        v = modops.from_mont(
+            v_mont, ctx.p[drop : drop + 1], ctx.p_neg_inv[drop : drop + 1]
+        )
+        flag = (v > ctx.div_half[drop]).astype(jnp.uint32)
+        w = modops.mod_sub(
+            modops.barrett_reduce_u32(v, ctx.p[:drop], ctx.mu[:drop]),
+            flag * ctx.div_mod[drop, :drop][:, None],
+            ctx.p[:drop],
+        )
+        w_ntt = ctx.plan.fwd(w, lo=0)
+        inv1 = ctx.div_inv_mont[drop, :drop][:, None]
+        inv2 = ctx.div_inv_mont2[drop, :drop][:, None]
+        p, pni = ctx.consts(0, drop)
+        return modops.mod_sub(
+            modops.mont_mul(data[..., :drop, :], inv1, p, pni),
+            modops.mont_mul(w_ntt, inv2, p, pni),
+            p,
+        )
+
+    def rescale_to_next(self, a: Ciphertext) -> Ciphertext:
+        """CKKS rescale: divide-and-round by the last live prime *group*
+        (composite rescaling — rescale_group primes ≈ one SEAL scale
+        prime)."""
+        ctx = self.ctx
+        group = getattr(ctx, "rescale_group", 1)
+        l = a.level
+        if l - group < getattr(ctx, "min_level", 1):
+            raise ValueError("no prime group left to rescale")
+        data = a.data
+        scale = a.scale
+        for _ in range(group):
+            data = self._drop_one_scaled(data, l)
+            l -= 1
+            scale /= ctx.data_primes[l]
+        return replace(a, data=data, level=l, scale=scale)
+
+    def mod_switch_to_next(self, a: Ciphertext) -> Ciphertext:
+        """CKKS modulus-chain drop (one rescale group) without scaling
+        (reference matchLevel's underlying op,
+        src/engine/seal_context.cpp:255-263)."""
+        group = getattr(self.ctx, "rescale_group", 1)
+        l = a.level - group
+        if l < 1:
+            raise ValueError("cannot drop below one live prime")
+        return replace(a, data=a.data[..., :l, :], level=l)
+
+    def mod_switch_to(self, a: Ciphertext, level: int) -> Ciphertext:
+        """Drop live primes down to ``level`` (a prime count)."""
+        if level > a.level:
+            raise ValueError("cannot mod-switch up")
+        if level < 1:
+            raise ValueError("cannot drop below one live prime")
+        return replace(a, data=a.data[..., :level, :], level=level)
+
+    def mod_switch_plain_to(self, pt: Plaintext, level: int) -> Plaintext:
+        if level > pt.level:
+            raise ValueError("cannot mod-switch plaintext up")
+        return replace(pt, data=pt.data[..., :level, :], level=level)
+
+    def match_level(
+        self, a: Ciphertext, b: Ciphertext
+    ) -> Tuple[Ciphertext, Ciphertext]:
+        """Align two ciphertexts on the lower of their two levels
+        (reference SEALContextWrapper::matchLevel)."""
+        tgt = min(a.level, b.level)
+        return self.mod_switch_to(a, tgt), self.mod_switch_to(b, tgt)
+
+    # -- Galois / rotations -------------------------------------------------
+
+    def apply_galois(self, a: Ciphertext, g: int) -> Ciphertext:
+        if self.keys is None or (g % (2 * self.ctx.n)) not in self.keys.galois:
+            raise ValueError(f"missing Galois key for element {g}")
+        if a.size != 2:
+            raise ValueError("relinearize before rotating")
+        g = g % (2 * self.ctx.n)
+        l = a.level
+        p = self.ctx.p[:l]
+        permuted = self.ctx.plan.apply_galois_eval(a.data, g)
+        kb, ka = self.key_switch(
+            permuted[..., 1, :, :], self.keys.galois[g], l
+        )
+        c0 = modops.mod_add(permuted[..., 0, :, :], kb, p)
+        return replace(a, data=jnp.stack([c0, ka], axis=-3))
+
+    def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
+        """Rotate slot vector left by ``steps`` (CKKS rotate_vector /
+        BFV rotate_rows semantics; negative = right)."""
+        n = self.ctx.n
+        slots = n // 2
+        steps = steps % slots
+        if steps == 0:
+            return a
+        return self.apply_galois(a, pow(5, steps, 2 * n))
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        """CKKS slot conjugation / BFV rotate_columns (element 2N-1)."""
+        return self.apply_galois(a, 2 * self.ctx.n - 1)
+
+
+def _mod_sum(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Modular reduction-tree sum along ``axis`` (pairwise, log depth)."""
+    n = x.shape[axis]
+    idx = lambda s: tuple(
+        s if d == axis % x.ndim else slice(None) for d in range(x.ndim)
+    )
+    while n > 1:
+        half = n // 2
+        a = x[idx(slice(0, half))]
+        b = x[idx(slice(half, 2 * half))]
+        rest = x[idx(slice(2 * half, n))]
+        x = jnp.concatenate([modops.mod_add(a, b, p), rest], axis=axis)
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+def rotation_galois_elt(n: int, steps: int) -> int:
+    return pow(5, steps % (n // 2), 2 * n)

@@ -78,6 +78,40 @@ def gen_ntt_primes(
     return out
 
 
+def gen_primes_near(
+    n_primes: int,
+    bits: int,
+    two_n: int,
+    avoid: tuple[int, ...] = (),
+) -> List[int]:
+    """``n_primes`` primes p ≡ 1 (mod two_n) closest to 2**bits (p < 2**31).
+
+    Alternates above/below the target so products of consecutive primes stay
+    close to powers of the target — keeps CKKS scale drift minimal without
+    ever forcing scales (the reference instead forces scales and eats the
+    error, e.g. /root/reference src/engine/seal_context.cpp:449).
+    """
+    target = 2**bits
+    avoid_set = set(avoid)
+    out: List[int] = []
+    k = 0
+    base = (target // two_n) * two_n + 1
+    while len(out) < n_primes:
+        k += 1
+        for cand in (base + k * two_n, base - k * two_n):
+            if (
+                len(out) < n_primes
+                and two_n < cand < 2**31
+                and cand not in avoid_set
+                and is_prime(cand)
+            ):
+                out.append(cand)
+                avoid_set.add(cand)
+        if k > 2**20:
+            raise RuntimeError("prime search exhausted")
+    return out
+
+
 def primitive_root(p: int) -> int:
     """Smallest generator of Z_p^* (p prime)."""
     fac = _factor(p - 1)

@@ -58,49 +58,59 @@ class NttPlan:
 
     # -- transforms ---------------------------------------------------------
 
-    def fwd(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Forward negacyclic NTT of [..., L, N] Montgomery-form residues."""
+    def fwd(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
+        """Forward negacyclic NTT of [..., l, N] Montgomery-form residues.
+
+        ``lo`` selects which rows of the plan's limb stack the data
+        corresponds to: limbs [lo, lo + x.shape[-2]).  A ciphertext at a
+        lower level passes its prefix of limbs with lo=0; the key-switch
+        special-modulus row passes lo = L_full - 1.  Works on normal-form
+        residues too (the butterfly is Montgomery-form-invariant).
+        """
         n = self.n
         lead = x.shape[:-1]
+        nl = x.shape[-2]
+        p = self.p[lo : lo + nl, :, None]
+        pni = self.p_neg_inv[lo : lo + nl, :, None]
         m, t = 1, n // 2
         for s in range(n.bit_length() - 1):
             xv = x.reshape(*lead, m, 2, t)
             u = xv[..., 0, :]
             v = xv[..., 1, :]
-            w = self.fwd_tw[s]  # [L, m, 1] broadcasts against [..., L, m, t]
-            tv = modops.mont_mul(v, w, self.p[..., None], self.p_neg_inv[..., None])
+            w = self.fwd_tw[s][lo : lo + nl]  # [l, m, 1]
+            tv = modops.mont_mul(v, w, p, pni)
             x = jnp.stack(
-                [
-                    modops.mod_add(u, tv, self.p[..., None]),
-                    modops.mod_sub(u, tv, self.p[..., None]),
-                ],
+                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
                 axis=-2,
             ).reshape(*lead, n)
             m, t = m * 2, t // 2
         return x
 
-    def inv(self, x: jnp.ndarray) -> jnp.ndarray:
+    def inv(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
         """Inverse negacyclic NTT (exact inverse of :meth:`fwd`)."""
         n = self.n
         lead = x.shape[:-1]
+        nl = x.shape[-2]
+        p = self.p[lo : lo + nl, :, None]
+        pni = self.p_neg_inv[lo : lo + nl, :, None]
         m, t = n // 2, 1
         for s in range(n.bit_length() - 2, -1, -1):
             xv = x.reshape(*lead, m, 2, t)
             u = xv[..., 0, :]
             v = xv[..., 1, :]
-            w = self.inv_tw[s]
-            diff = modops.mod_sub(u, v, self.p[..., None])
+            w = self.inv_tw[s][lo : lo + nl]
+            diff = modops.mod_sub(u, v, p)
             x = jnp.stack(
-                [
-                    modops.mod_add(u, v, self.p[..., None]),
-                    modops.mont_mul(
-                        diff, w, self.p[..., None], self.p_neg_inv[..., None]
-                    ),
-                ],
+                [modops.mod_add(u, v, p), modops.mont_mul(diff, w, p, pni)],
                 axis=-2,
             ).reshape(*lead, n)
             m, t = m // 2, t * 2
-        return modops.mont_mul(x, self.n_inv_mont, self.p, self.p_neg_inv)
+        return modops.mont_mul(
+            x,
+            self.n_inv_mont[lo : lo + nl],
+            self.p[lo : lo + nl],
+            self.p_neg_inv[lo : lo + nl],
+        )
 
     # -- Galois automorphisms ----------------------------------------------
 

@@ -1,0 +1,166 @@
+"""CKKS encoding and encryption for the TPU-native scheme.
+
+Encoder: canonical embedding with the power-of-5 slot ordering, reduced to
+a standard length-N complex FFT plus a twist — O(N log N) float64 on host.
+Slot j corresponds to evaluation at ζ^(5^j mod 2N) (ζ the primitive 2N-th
+complex root), which makes the Galois element 5^k a cyclic rotate-left by
+k and 2N-1 the conjugation — the exact slot semantics the reference relies
+on for rotate_vector-based reductions (/root/reference
+src/engine/seal_context.cpp:321-347).
+
+Counterpart of SEAL's CKKSEncoder + Encryptor/Decryptor used throughout
+the reference benchmarks (e.g. encode at
+src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:163-206).
+Encode/decode are host-side (they sit outside the timed ``operate`` step
+in the HEBench pipeline); encrypt/decrypt do their polynomial arithmetic
+on device via the NTT plan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.schemes import core
+from reference_seal_backend_tpu.schemes.keys import (
+    KeySet,
+    PublicKey,
+    sample_error,
+    sample_ternary,
+    _to_ntt_mont,
+)
+from reference_seal_backend_tpu.schemes.params import CkksContext
+
+
+class CkksEncoder:
+    """values[slots] (complex or real) <-> integer polynomial coefficients."""
+
+    def __init__(self, ctx: CkksContext):
+        self.ctx = ctx
+        n = ctx.n
+        self.slots = n // 2
+        two_n = 2 * n
+        # k(j): evaluation index of slot j; 2k+1 = 5^j mod 2N.
+        ks = np.empty(self.slots, dtype=np.int64)
+        g = 1
+        for j in range(self.slots):
+            ks[j] = (g - 1) // 2
+            g = g * 5 % two_n
+        self.k_of_j = ks
+        i = np.arange(n)
+        self.twist = np.exp(1j * np.pi * i / n)  # ζ^i
+
+    def embed_inverse(self, values: np.ndarray) -> np.ndarray:
+        """Complex slot values -> real coefficient vector (unscaled)."""
+        n = self.ctx.n
+        z = np.asarray(values, dtype=np.complex128)
+        if z.shape[-1] != self.slots:
+            full = np.zeros(z.shape[:-1] + (self.slots,), dtype=np.complex128)
+            full[..., : z.shape[-1]] = z
+            z = full
+        E = np.zeros(z.shape[:-1] + (n,), dtype=np.complex128)
+        E[..., self.k_of_j] = z
+        E[..., n - 1 - self.k_of_j] = np.conj(z)
+        a = np.fft.fft(E, axis=-1) / n
+        return (a * np.conj(self.twist)).real
+
+    def embed(self, coeffs: np.ndarray) -> np.ndarray:
+        """Real coefficient vector -> complex slot values (unscaled)."""
+        a = np.asarray(coeffs, dtype=np.float64) * self.twist
+        E = np.fft.ifft(a, axis=-1) * self.ctx.n
+        return E[..., self.k_of_j]
+
+    def encode(
+        self, values: Sequence, scale: Optional[float] = None
+    ) -> core.Plaintext:
+        """Encode (real or complex) slot values at ``scale`` into an
+        NTT-domain Montgomery plaintext at the top level."""
+        ctx = self.ctx
+        scale = float(scale if scale is not None else ctx.scale)
+        mf = self.embed_inverse(np.asarray(values)) * scale
+        if np.max(np.abs(mf)) >= 2**62:
+            raise ValueError("encoded coefficients exceed int64 range")
+        m = np.rint(mf).astype(np.int64)
+        data = _to_ntt_mont(ctx, m, slice(0, ctx.L))
+        return core.Plaintext(data=data, level=ctx.L, scale=scale)
+
+    def decode(
+        self, coeffs_centered: np.ndarray, scale: float, slots: Optional[int] = None
+    ) -> np.ndarray:
+        """Centered bigint coefficient vector -> complex slot values."""
+        vals = self.embed(coeffs_centered.astype(np.float64)) / scale
+        return vals if slots is None else vals[..., :slots]
+
+
+class CkksEncryptor:
+    def __init__(self, ctx: CkksContext, keys: KeySet):
+        self.ctx = ctx
+        self.keys = keys
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence([0xE4C, id(self) & 0xFFFF])
+        )
+
+    def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
+        """Public-key encryption of an encoded plaintext."""
+        ctx = self.ctx
+        L = pt.level
+        pk = self.keys.public
+        u = _to_ntt_mont(ctx, sample_ternary(self._rng, ctx.n), slice(0, L))
+        e0 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
+        e1 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
+        p, pni = ctx.consts(0, L)
+        c0 = modops.mod_add(
+            modops.mod_add(
+                modops.mont_mul(pk.b[:L], u, p, pni), e0, p
+            ),
+            pt.data,
+            p,
+        )
+        c1 = modops.mod_add(modops.mont_mul(pk.a[:L], u, p, pni), e1, p)
+        return core.Ciphertext(
+            data=jnp.stack([c0, c1]), level=L, scale=pt.scale, is_ntt=True
+        )
+
+    def encrypt_zero(self, level: int, scale: float) -> core.Ciphertext:
+        ctx = self.ctx
+        pt = core.Plaintext(
+            data=jnp.zeros((level, ctx.n), dtype=jnp.uint32),
+            level=level,
+            scale=scale,
+        )
+        return self.encrypt_pt(pt)
+
+
+class CkksDecryptor:
+    def __init__(self, ctx: CkksContext, keys: KeySet):
+        self.ctx = ctx
+        self.keys = keys
+
+    def decrypt_to_coeffs(self, ct: core.Ciphertext) -> np.ndarray:
+        """Σ c_k s^k, iNTT, CRT-compose -> centered bigint coefficients."""
+        ctx = self.ctx
+        L = ct.level
+        s = self.keys.secret_ntt[:L]
+        p, pni = ctx.consts(0, L)
+        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
+        acc = comps[-1]
+        for k in range(ct.size - 2, -1, -1):
+            acc = modops.mod_add(
+                modops.mont_mul(acc, s, p, pni), comps[k], p
+            )
+        coeff_mont = ctx.plan.inv(acc, lo=0)
+        res = core.mont_to_rns(np.asarray(coeff_mont), ctx.primes[:L])
+        return core.crt_compose_centered(res, ctx.primes[:L])
+
+    def decrypt(self, ct: core.Ciphertext, slots: Optional[int] = None):
+        enc = CkksEncoder(self.ctx)
+        return enc.decode(self.decrypt_to_coeffs(ct), ct.scale, slots)
+
+
+@functools.lru_cache(maxsize=None)
+def encoder_for(ctx: CkksContext) -> CkksEncoder:
+    return CkksEncoder(ctx)

@@ -1,0 +1,237 @@
+"""Encryption parameters and contexts for the TPU-native BFV/CKKS schemes.
+
+Mirrors the *role* of the reference's ``SEALContextWrapper``
+(/root/reference include/engine/seal_context.h:14-111, context chains built
+at src/engine/seal_context.cpp:72-127) but with a TPU-first design:
+
+* RNS primes are all < 2**31 and NTT-friendly (p ≡ 1 mod 2N) so residues
+  fit the uint32 Montgomery core (ops/modops.py).  Where SEAL builds the
+  chain ``{60, b × depth-ish, 60}``, we build
+  ``[q0, q1, scale primes…, special]`` out of ~30-bit primes.
+* CKKS keeps **two** bottom primes at the minimum level: together they give
+  ~60 bits of decode headroom, the small-prime analogue of SEAL's single
+  60-bit q0.  Each rescale drops one prime; ``depth`` rescales are
+  supported.
+* The last prime in the stack is the key-switch **special modulus** (hybrid
+  key switching); ciphertext data never lives there.
+
+A context owns the NTT plan over the full prime stack and every cross-limb
+constant the evaluator needs (Barrett mu, divisor inverses in one- and
+two-Montgomery form, centered-lift corrections), all precomputed host-side
+once and stored as device arrays shaped ``[L, 1]`` / ``[L, L]`` for
+broadcast against limb-major data.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.nums import primegen
+from reference_seal_backend_tpu.ops import ntt as ntt_mod
+from reference_seal_backend_tpu.ops import modops
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    """User-facing CKKS parameters (analogue of the workload params the
+    reference registers per benchmark, SURVEY.md §2.2 table).
+
+    ``scale_bits`` is the *total* scale; each rescale level is backed by
+    ``rescale_group`` primes of ~scale_bits/rescale_group bits whose product
+    approximates 2**scale_bits (composite rescaling).  With all primes
+    < 2**31 (TPU uint32 arithmetic), a group of 2 reproduces the precision
+    of SEAL's 40-52-bit scale primes.
+    """
+
+    poly_modulus_degree: int = 8192
+    mult_depth: int = 2
+    scale_bits: int = 52
+    rescale_group: int = 2
+    # extra bottom primes beyond the rescale chain: 2 gives ~62-bit decode
+    # headroom like SEAL's 60-bit q0.
+    bottom_primes: int = 2
+
+
+@dataclass(frozen=True)
+class BfvParams:
+    poly_modulus_degree: int = 8192
+    mult_depth: int = 2
+    plain_modulus_bits: int = 20
+    # data primes sized for noise budget; ~30-bit each.
+    n_data_primes: int = 4
+
+
+def _stack_consts(primes, key) -> np.ndarray:
+    return np.array(
+        [[modops.mont_consts(p)[key]] for p in primes], dtype=np.uint32
+    )
+
+
+class Context:
+    """Shared RNS machinery for one (scheme, parameter set) instance.
+
+    ``primes = data_primes + (special,)``; ciphertext level ``l`` means the
+    first ``l`` data primes are live.  All constant tables are indexed
+    [divisor d, target j] where applicable.
+    """
+
+    def __init__(self, scheme: str, n: int, data_primes: Tuple[int, ...],
+                 special_prime: int):
+        self.scheme = scheme
+        self.n = n
+        self.data_primes = tuple(data_primes)
+        self.special_prime = special_prime
+        self.primes = self.data_primes + (special_prime,)
+        self.L = len(self.data_primes)
+        self.plan = ntt_mod.make_plan(n, self.primes)
+        self.sp_row = self.L  # row index of the special modulus
+
+        P = self.primes
+        nf = len(P)
+        # Per-limb Montgomery/Barrett constants, [nf, 1].
+        self.p = jnp.asarray(_stack_consts(P, "p"))
+        self.p_neg_inv = jnp.asarray(_stack_consts(P, "p_neg_inv"))
+        self.mu = jnp.asarray(_stack_consts(P, "mu"))
+        self.r2 = jnp.asarray(_stack_consts(P, "r2"))
+        self.r1 = jnp.asarray(_stack_consts(P, "r1"))
+
+        # Cross-limb divisor tables for divide-and-round (rescale, key-switch
+        # mod-down, BFV mod-switch).  For divisor prime d and target j:
+        #   div_inv_mont[d, j]  = (P_d^{-1} mod q_j) * R   mod q_j
+        #   div_inv_mont2[d, j] = (P_d^{-1} mod q_j) * R^2 mod q_j
+        #   div_mod[d, j]       =  P_d mod q_j   (for centered-lift fixup)
+        #   div_half[d]         =  P_d // 2      (centering threshold)
+        R = 1 << 32
+        inv1 = np.zeros((nf, nf), dtype=np.uint32)
+        inv2 = np.zeros((nf, nf), dtype=np.uint32)
+        dmod = np.zeros((nf, nf), dtype=np.uint32)
+        for d, pd in enumerate(P):
+            for j, pj in enumerate(P):
+                if d == j:
+                    continue
+                iv = pow(pd, -1, pj)
+                inv1[d, j] = iv * R % pj
+                inv2[d, j] = iv * R * R % pj
+                dmod[d, j] = pd % pj
+        self.div_inv_mont = jnp.asarray(inv1)
+        self.div_inv_mont2 = jnp.asarray(inv2)
+        self.div_mod = jnp.asarray(dmod)
+        self.div_half = jnp.asarray(
+            np.array([p // 2 for p in P], dtype=np.uint32)
+        )
+
+    # -- helpers ------------------------------------------------------------
+
+    def consts(self, lo: int, nl: int):
+        """(p, p_neg_inv) slices for limbs [lo, lo+nl), shape [nl, 1]."""
+        return (
+            self.p[lo : lo + nl],
+            self.p_neg_inv[lo : lo + nl],
+        )
+
+    def q_at_level(self, level: int) -> int:
+        q = 1
+        for p in self.data_primes[:level]:
+            q *= p
+        return q
+
+
+class CkksContext(Context):
+    def __init__(self, params: CkksParams):
+        n = params.poly_modulus_degree
+        two_n = 2 * n
+        g = params.rescale_group
+        if params.scale_bits // g > 30:
+            raise ValueError("per-prime scale bits must be <= 30")
+        # Special/bottom primes large (near 2^31) for headroom; scale primes
+        # nearest 2^(scale_bits/g), alternating above/below so each group's
+        # product stays close to 2^scale_bits.
+        big = primegen.gen_ntt_primes(
+            params.bottom_primes + 1, 31, two_n
+        )
+        special = big[0]
+        bottom = tuple(big[1:])
+        scale_primes = tuple(
+            primegen.gen_primes_near(
+                params.mult_depth * g, params.scale_bits // g, two_n,
+                avoid=tuple(big),
+            )
+        )
+        # Chain order: bottom primes first (never dropped), then scale
+        # primes (dropped in groups of g, last-first, by rescale).
+        data = bottom + scale_primes
+        super().__init__("ckks", n, data, special)
+        self.params = params
+        self.scale = float(2 ** params.scale_bits)
+        self.rescale_group = g
+        self.min_level = params.bottom_primes
+        self.slots = n // 2
+
+    @property
+    def max_level(self) -> int:
+        return self.L
+
+
+class BfvContext(Context):
+    def __init__(self, params: BfvParams):
+        n = params.poly_modulus_degree
+        two_n = 2 * n
+        t = primegen.gen_primes_near(
+            1, params.plain_modulus_bits, two_n
+        )[0]
+        big = primegen.gen_ntt_primes(1 + params.n_data_primes, 31, two_n,
+                                      avoid=(t,))
+        special = big[0]
+        data = tuple(big[1:])
+        super().__init__("bfv", n, data, special)
+        self.params = params
+        self.t = t
+        q = self.q_at_level(self.L)
+        self.q = q
+        self.delta = q // t  # floor(q/t), the plaintext scaling factor
+        # Delta mod q_j in Montgomery form, [L, 1] — scales encoded m.
+        self.delta_mont = jnp.asarray(
+            np.array(
+                [[(self.delta % p) * (1 << 32) % p] for p in data],
+                dtype=np.uint32,
+            )
+        )
+        self.slots = n
+
+
+@functools.lru_cache(maxsize=None)
+def make_ckks_context(
+    poly_modulus_degree: int = 8192,
+    mult_depth: int = 2,
+    scale_bits: int = 52,
+    rescale_group: int = 2,
+    bottom_primes: int = 2,
+) -> CkksContext:
+    return CkksContext(
+        CkksParams(
+            poly_modulus_degree,
+            mult_depth,
+            scale_bits,
+            rescale_group,
+            bottom_primes,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_bfv_context(
+    poly_modulus_degree: int = 8192,
+    mult_depth: int = 2,
+    plain_modulus_bits: int = 20,
+    n_data_primes: int = 4,
+) -> BfvContext:
+    return BfvContext(
+        BfvParams(
+            poly_modulus_degree, mult_depth, plain_modulus_bits, n_data_primes
+        )
+    )
