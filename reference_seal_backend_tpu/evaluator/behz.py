@@ -1,0 +1,287 @@
+"""BEHZ RNS BFV ct-ct multiplication (Bajard-Eynard-Hasan-Zucca 2016).
+
+Integer-only RNS multiply with the t/q scaling BFV requires, with no
+bignum arithmetic on device — every step is uint32 Montgomery ops and NTTs
+over two prime bases:
+
+  1. fast base conversion of inputs  q -> Bsk ∪ {m_tilde}, inputs
+     pre-multiplied by m_tilde
+  2. small Montgomery reduction mod m_tilde = 2**16 (kills the conversion's
+     q-overflows; mod-2^16 arithmetic is free bit masking on the VPU)
+  3. tensor product in both bases via NTT dyadic multiplies
+  4. scale by t and floor-divide by q in Bsk (fast_floor)
+  5. exact Shenoy-Kumaresan conversion Bsk -> q using m_sk
+
+Base sizes: q has k ~31-bit primes; B has k+1 (so B ≫ q — the headroom the
+S-K conversion needs when aux primes cannot exceed 31 bits); Bsk = B ∪
+{m_sk}.  Form conventions: base-extension math runs on *normal-form*
+residues with constants stored in Montgomery form, so each step is one
+Montgomery multiply; ciphertexts enter/leave in the at-rest NTT Montgomery
+form.  mont_mul tolerates left operands up to 2^31 even when ≥ p, so
+cross-base digits are used unreduced.
+
+Role-equivalent to the SEAL BFV ``Evaluator::multiply`` the reference
+calls in src/benchmarks/bfv/seal_bfv_element_wise_benchmark.cpp:289-348 —
+rebuilt from the BEHZ construction with TPU-native [limb, N] layouts and
+limb-axis contractions, not ported from SEAL.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.schemes.core import Ciphertext
+from reference_seal_backend_tpu.schemes.params import BfvContext
+
+_MASK16 = np.uint32(0xFFFF)
+_MTILDE = 1 << 16
+_HALF_MTILDE = np.uint32(1 << 15)
+
+
+def _mont(x: int, p: int) -> int:
+    return (x << 32) % p
+
+
+def _col(vals) -> jnp.ndarray:
+    return jnp.asarray(np.array([[v] for v in vals], dtype=np.uint32))
+
+
+class BehzTables:
+    """Host-precomputed constant tables for one BFV context."""
+
+    def __init__(self, ctx: BfvContext):
+        self.ctx = ctx
+        k = ctx.L
+        q_primes = ctx.data_primes
+        aux = ctx.aux_primes  # k+1 primes, base B
+        bsk = ctx.bsk_primes  # aux + (m_sk,)
+        q = ctx.q
+        t = ctx.t
+        B = 1
+        for b in aux:
+            B *= b
+        m_sk = ctx.m_sk
+
+        qh = [q // qi for qi in q_primes]
+        qh_inv = [pow(qh[i] % q_primes[i], -1, q_primes[i]) for i in range(k)]
+
+        # step 1: y_i = x_i * (m_tilde * q̂_i^{-1}) mod q_i
+        self.mtilde_qhinv = _col(
+            _mont(_MTILDE * qh_inv[i] % q_primes[i], q_primes[i])
+            for i in range(k)
+        )
+        self.plain_qhinv = _col(
+            _mont(qh_inv[i], q_primes[i]) for i in range(k)
+        )
+        # q̂_i mod p_j for p_j in Bsk: [k, kb, 1] Montgomery consts
+        self.qh_mod_bsk = jnp.asarray(
+            np.array(
+                [[_mont(qh[i] % pj, pj) for pj in bsk] for i in range(k)],
+                dtype=np.uint32,
+            )
+        )[..., None]
+        self.qh_mod_mtilde = _col(qh[i] % _MTILDE for i in range(k))
+        self.neg_qinv_mtilde = np.uint32(
+            (-pow(q % _MTILDE, -1, _MTILDE)) % _MTILDE
+        )
+        # step 2 constants per Bsk prime
+        self.mtilde_inv_bsk = _col(
+            _mont(pow(_MTILDE, -1, pj), pj) for pj in bsk
+        )
+        self.q_mtilde_inv_bsk = _col(
+            _mont(q * pow(_MTILDE, -1, pj) % pj, pj) for pj in bsk
+        )
+        self.q_mod_bsk = _col(q % pj for pj in bsk)
+        # step 4: ×t then floor-divide by q in Bsk
+        self.t_mod_q = _col(_mont(t % qi, qi) for qi in q_primes)
+        self.t_mod_bsk = _col(_mont(t % pj, pj) for pj in bsk)
+        self.qinv_bsk = _col(
+            _mont(pow(q % pj, -1, pj), pj) for pj in bsk
+        )
+        # step 5 (Shenoy-Kumaresan, base B -> q via m_sk)
+        ka = len(aux)
+        Bh = [B // bi for bi in aux]
+        self.Bh_inv = _col(
+            _mont(pow(Bh[i] % aux[i], -1, aux[i]), aux[i]) for i in range(ka)
+        )
+        self.Bh_mod_msk = _col(_mont(Bh[i] % m_sk, m_sk) for i in range(ka))
+        self.Bh_mod_q = jnp.asarray(
+            np.array(
+                [[_mont(Bh[i] % qj, qj) for qj in q_primes]
+                 for i in range(ka)],
+                dtype=np.uint32,
+            )
+        )[..., None]
+        self.Binv_msk = np.uint32(_mont(pow(B % m_sk, -1, m_sk), m_sk))
+        self.B_mod_q = _col(_mont(B % qj, qj) for qj in q_primes)
+        self.msk_B_mod_q = _col(
+            (m_sk % qj) * (B % qj) % qj for qj in q_primes
+        )
+        self.half_msk = np.uint32(m_sk // 2)
+
+        self.q_p = ctx.p[:k]
+        self.q_pni = ctx.p_neg_inv[:k]
+        self.q_mu = ctx.mu[:k]
+        self.q_r2 = ctx.r2[:k]
+        self.bsk_p = ctx.bsk_plan.p
+        self.bsk_pni = ctx.bsk_plan.p_neg_inv
+        self.bsk_r2 = _col(
+            modops.mont_consts(p)["r2"] for p in bsk
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def tables_for(ctx: BfvContext) -> BehzTables:
+    return BehzTables(ctx)
+
+
+def _mod_sum_axis(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Pairwise modular sum-reduction along ``axis`` (keeps values < p)."""
+    n = x.shape[axis]
+    idx = lambda s: tuple(
+        s if d == axis % x.ndim else slice(None) for d in range(x.ndim)
+    )
+    while n > 1:
+        half = n // 2
+        a = x[idx(slice(0, half))]
+        b = x[idx(slice(half, 2 * half))]
+        rest = x[idx(slice(2 * half, n))]
+        x = jnp.concatenate([modops.mod_add(a, b, p), rest], axis=axis)
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
+    """x (normal coeff, [..., k, N] over q) -> x in Bsk, exactly (the
+    m_tilde Montgomery reduction cancels the conversion overflow)."""
+    y = modops.mont_mul(x_q, tb.mtilde_qhinv, tb.q_p, tb.q_pni)
+    # x*_j = Σ_i y_i · (q̂_i mod p_j), p_j ∈ Bsk
+    terms = modops.mont_mul(
+        y[..., :, None, :], tb.qh_mod_bsk, tb.bsk_p, tb.bsk_pni
+    )  # [..., k, kb, N]
+    xs = _mod_sum_axis(terms, tb.bsk_p, axis=-3)
+    # x*_mtilde = Σ_i y_i · (q̂_i mod 2^16)  (wraparound keeps low 16 bits)
+    xt = jnp.sum((y & _MASK16) * tb.qh_mod_mtilde, axis=-2) & _MASK16
+    r = (xt * tb.neg_qinv_mtilde) & _MASK16  # ≡ -α (mod m_tilde)
+    flag = (r > _HALF_MTILDE).astype(jnp.uint32)[..., None, :]
+    r = r[..., None, :]
+    out = modops.mod_add(
+        modops.mont_mul(xs, tb.mtilde_inv_bsk, tb.bsk_p, tb.bsk_pni),
+        modops.mont_mul(r, tb.q_mtilde_inv_bsk, tb.bsk_p, tb.bsk_pni),
+        tb.bsk_p,
+    )
+    return modops.mod_sub(out, flag * tb.q_mod_bsk, tb.bsk_p)
+
+
+def _fbc_q_to_bsk(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
+    """Plain fast base conversion q -> Bsk (may carry +αq, α < k, absorbed
+    as noise by the surrounding floor)."""
+    y = modops.mont_mul(x_q, tb.plain_qhinv, tb.q_p, tb.q_pni)
+    terms = modops.mont_mul(
+        y[..., :, None, :], tb.qh_mod_bsk, tb.bsk_p, tb.bsk_pni
+    )
+    return _mod_sum_axis(terms, tb.bsk_p, axis=-3)
+
+
+def _sk_to_q(tb: BehzTables, y_bsk: jnp.ndarray) -> jnp.ndarray:
+    """Exact Shenoy-Kumaresan conversion of (possibly centered-negative)
+    y [..., kb, N] over Bsk = B ∪ {m_sk} into base q: [..., k, N]."""
+    ka = len(tb.ctx.aux_primes)
+    y_B = y_bsk[..., :ka, :]
+    y_msk = y_bsk[..., ka:, :]
+    msk_p = tb.bsk_p[ka:]
+    msk_pni = tb.bsk_pni[ka:]
+    yp = modops.mont_mul(y_B, tb.Bh_inv, tb.bsk_p[:ka], tb.bsk_pni[:ka])
+    # α = (Σ_i y'_i·B̂_i - y) / B  recovered mod m_sk, centered
+    terms_msk = modops.mont_mul(yp, tb.Bh_mod_msk, msk_p, msk_pni)
+    conv_msk = _mod_sum_axis(terms_msk[..., :, None, :], msk_p, axis=-3)
+    alpha = modops.mont_mul(
+        modops.mod_sub(conv_msk, y_msk, msk_p),
+        tb.Binv_msk,
+        msk_p,
+        msk_pni,
+    )  # [..., 1, N] in [0, m_sk)
+    flag = (alpha > tb.half_msk).astype(jnp.uint32)
+    terms_q = modops.mont_mul(
+        yp[..., :, None, :], tb.Bh_mod_q, tb.q_p, tb.q_pni
+    )  # [..., ka, k, N]
+    s = _mod_sum_axis(terms_q, tb.q_p, axis=-3)
+    alpha_term = modops.mont_mul(
+        modops.barrett_reduce_u32(alpha, tb.q_p, tb.q_mu),
+        tb.B_mod_q,
+        tb.q_p,
+        tb.q_pni,
+    )
+    out = modops.mod_sub(s, alpha_term, tb.q_p)
+    return modops.mod_add(out, flag * tb.msk_B_mod_q, tb.q_p)
+
+
+def _tensor(x, y, p, pni):
+    """(x0,x1)⊗(y0,y1) dyadic; x Montgomery, y normal -> products normal."""
+    x0, x1 = x[..., 0, :, :], x[..., 1, :, :]
+    y0, y1 = y[..., 0, :, :], y[..., 1, :, :]
+    c0 = modops.mont_mul(x0, y0, p, pni)
+    c2 = modops.mont_mul(x1, y1, p, pni)
+    c1 = modops.mod_add(
+        modops.mont_mul(x0, y1, p, pni),
+        modops.mont_mul(x1, y0, p, pni),
+        p,
+    )
+    return jnp.stack([c0, c1, c2], axis=-3)
+
+
+def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """BFV ct-ct multiply (no relinearization): 3-component result."""
+    tb = tables_for(ctx)
+    k = ctx.L
+    if a.size != 2 or b.size != 2:
+        raise NotImplementedError("bfv multiply expects size-2 inputs")
+    plan, bsk_plan = ctx.plan, ctx.bsk_plan
+
+    def to_coeff_normal(ct):
+        return modops.from_mont(plan.inv(ct.data, lo=0), tb.q_p, tb.q_pni)
+
+    a_q = to_coeff_normal(a)  # [..., 2, k, N] normal coeff
+    b_q = to_coeff_normal(b)
+    a_bsk = _conv_to_bsk_mtilde(tb, a_q)  # [..., 2, kb, N]
+    b_bsk = _conv_to_bsk_mtilde(tb, b_q)
+
+    prod_q = plan.inv(
+        _tensor(
+            plan.fwd(modops.to_mont(a_q, tb.q_p, tb.q_pni, tb.q_r2), lo=0),
+            plan.fwd(b_q, lo=0),
+            tb.q_p,
+            tb.q_pni,
+        ),
+        lo=0,
+    )  # [..., 3, k, N] normal coeff
+    prod_bsk = bsk_plan.inv(
+        _tensor(
+            bsk_plan.fwd(
+                modops.to_mont(a_bsk, tb.bsk_p, tb.bsk_pni, tb.bsk_r2), lo=0
+            ),
+            bsk_plan.fwd(b_bsk, lo=0),
+            tb.bsk_p,
+            tb.bsk_pni,
+        ),
+        lo=0,
+    )  # [..., 3, kb, N]
+
+    # scale by t, floor-divide by q (in Bsk), convert exactly back to q
+    tc_q = modops.mont_mul(prod_q, tb.t_mod_q, tb.q_p, tb.q_pni)
+    tc_bsk = modops.mont_mul(prod_bsk, tb.t_mod_bsk, tb.bsk_p, tb.bsk_pni)
+    y_bsk = modops.mont_mul(
+        modops.mod_sub(tc_bsk, _fbc_q_to_bsk(tb, tc_q), tb.bsk_p),
+        tb.qinv_bsk,
+        tb.bsk_p,
+        tb.bsk_pni,
+    )
+    out_q = _sk_to_q(tb, y_bsk)
+    out_ntt = plan.fwd(
+        modops.to_mont(out_q, tb.q_p, tb.q_pni, tb.q_r2), lo=0
+    )
+    return Ciphertext(data=out_ntt, level=k, scale=1.0, is_ntt=True)

@@ -86,7 +86,16 @@ class Evaluator:
         if abs(a.scale - pt.scale) > _SCALE_RTOL * abs(a.scale):
             raise ValueError(f"scale mismatch {a.scale} vs {pt.scale}")
         p = self.ctx.p[: a.level]
-        c0 = modops.mod_add(a.data[..., 0, :, :], pt.data, p)
+        pt_data = pt.data
+        if self.ctx.scheme == "bfv":
+            # BFV plaintexts are mod-t unscaled; scale by Δ for addition.
+            pt_data = modops.mont_mul(
+                pt_data,
+                self.ctx.delta_mont[: a.level],
+                p,
+                self.ctx.p_neg_inv[: a.level],
+            )
+        c0 = modops.mod_add(a.data[..., 0, :, :], pt_data, p)
         data = jnp.concatenate(
             [c0[..., None, :, :], a.data[..., 1:, :, :]], axis=-3
         )
@@ -94,7 +103,15 @@ class Evaluator:
 
     def sub_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         p = self.ctx.p[: a.level]
-        c0 = modops.mod_sub(a.data[..., 0, :, :], pt.data, p)
+        pt_data = pt.data
+        if self.ctx.scheme == "bfv":
+            pt_data = modops.mont_mul(
+                pt_data,
+                self.ctx.delta_mont[: a.level],
+                p,
+                self.ctx.p_neg_inv[: a.level],
+            )
+        c0 = modops.mod_sub(a.data[..., 0, :, :], pt_data, p)
         data = jnp.concatenate(
             [c0[..., None, :, :], a.data[..., 1:, :, :]], axis=-3
         )
@@ -117,6 +134,10 @@ class Evaluator:
         _check_binop(a, b)
         if a.size != 2 or b.size != 2:
             raise NotImplementedError("multiply expects size-2 inputs")
+        if self.ctx.scheme == "bfv":
+            from reference_seal_backend_tpu.evaluator import behz
+
+            return behz.bfv_multiply(self.ctx, a, b)
         l = a.level
         p, pni = self.ctx.consts(0, l)
         a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]

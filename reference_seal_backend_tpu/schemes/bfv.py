@@ -1,0 +1,170 @@
+"""BFV (exact integer) scheme: batch encoder, encryptor, decryptor.
+
+Counterpart of SEAL's BatchEncoder/Encryptor/Decryptor as used by the
+reference's BFV benchmarks (e.g. /root/reference
+src/benchmarks/bfv/seal_bfv_element_wise_benchmark.cpp).  Slot semantics
+mirror SEAL's 2×(N/2) batching matrix: ``rotate_rows`` (Galois 5^k) cycles
+each row, ``rotate_columns`` (Galois 2N-1) swaps the rows — our encoder is
+built on the same power-of-5 evaluation ordering as the CKKS encoder so the
+identical Galois machinery drives both schemes.
+
+BFV ciphertexts are stored NTT-domain Montgomery at rest, exactly like
+CKKS; only the BEHZ multiply (evaluator/behz.py) drops to coefficient
+domain internally.  Plaintexts are encoded mod t *unscaled*; the Δ = ⌊q/t⌋
+scaling is applied inside encrypt/add_plain.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.nums import primegen, polyref
+from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.schemes import core
+from reference_seal_backend_tpu.schemes.keys import (
+    KeySet,
+    sample_error,
+    sample_ternary,
+    _to_ntt_mont,
+)
+from reference_seal_backend_tpu.schemes.params import BfvContext
+
+
+class BfvBatchEncoder:
+    """int64 slot vector [N] <-> plaintext polynomial mod t."""
+
+    def __init__(self, ctx: BfvContext):
+        self.ctx = ctx
+        n = ctx.n
+        self.slots = n
+        self.row_size = n // 2
+        two_n = 2 * n
+        t = ctx.t
+        self.psi_t = primegen.min_root_of_unity(two_n, t)
+        ks = np.empty(self.row_size, dtype=np.int64)
+        g = 1
+        for j in range(self.row_size):
+            ks[j] = (g - 1) // 2
+            g = g * 5 % two_n
+        bits = n.bit_length() - 1
+        brv = np.array(
+            [polyref._bitrev(i, bits) for i in range(n)], dtype=np.int64
+        )
+        # storage index of row-0 slot j and row-1 slot j
+        self.store0 = brv[ks]
+        self.store1 = brv[n - 1 - ks]
+
+    def encode(self, values: Sequence[int]) -> core.Plaintext:
+        ctx = self.ctx
+        v = np.asarray(values, dtype=np.int64) % ctx.t
+        if v.shape[-1] > self.slots:
+            raise ValueError("too many values for batching slots")
+        full = np.zeros(self.slots, dtype=np.int64)
+        full[: v.shape[-1]] = v
+        store = np.empty(self.slots, dtype=np.uint32)
+        store[self.store0] = full[: self.row_size]
+        store[self.store1] = full[self.row_size :]
+        m = polyref.host_intt(store, self.psi_t, ctx.t)  # poly mod t
+        data = _to_ntt_mont(ctx, m.astype(np.int64), slice(0, ctx.L))
+        return core.Plaintext(data=data, level=ctx.L, scale=1.0)
+
+    def decode_poly(self, m_mod_t: np.ndarray) -> np.ndarray:
+        """Coefficient polynomial mod t -> int64 slot values (centered)."""
+        store = polyref.host_ntt(m_mod_t.astype(np.uint32), self.psi_t, self.ctx.t)
+        t = self.ctx.t
+        out = np.empty(self.slots, dtype=np.int64)
+        out[: self.row_size] = store[self.store0]
+        out[self.row_size :] = store[self.store1]
+        return np.where(out > t // 2, out - t, out)
+
+
+class BfvEncryptor:
+    def __init__(self, ctx: BfvContext, keys: KeySet):
+        self.ctx = ctx
+        self.keys = keys
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence([0xBF5, id(self) & 0xFFFF])
+        )
+
+    def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
+        """c = (Δ·m + pk_b·u + e0, pk_a·u + e1), NTT Montgomery at rest."""
+        ctx = self.ctx
+        L = ctx.L
+        pk = self.keys.public
+        u = _to_ntt_mont(ctx, sample_ternary(self._rng, ctx.n), slice(0, L))
+        e0 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
+        e1 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
+        p, pni = ctx.consts(0, L)
+        dm = modops.mont_mul(pt.data, ctx.delta_mont, p, pni)
+        c0 = modops.mod_add(
+            modops.mod_add(
+                modops.mont_mul(pk.b[:L], u, p, pni), e0, p
+            ),
+            dm,
+            p,
+        )
+        c1 = modops.mod_add(modops.mont_mul(pk.a[:L], u, p, pni), e1, p)
+        return core.Ciphertext(
+            data=jnp.stack([c0, c1]), level=L, scale=1.0, is_ntt=True
+        )
+
+
+class BfvDecryptor:
+    def __init__(self, ctx: BfvContext, keys: KeySet):
+        self.ctx = ctx
+        self.keys = keys
+
+    def decrypt_poly(self, ct: core.Ciphertext) -> np.ndarray:
+        """-> plaintext polynomial mod t: round(t·[c(s)]_q / q) mod t."""
+        ctx = self.ctx
+        L = ct.level
+        s = self.keys.secret_ntt[:L]
+        p, pni = ctx.consts(0, L)
+        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
+        acc = comps[-1]
+        for k in range(ct.size - 2, -1, -1):
+            acc = modops.mod_add(
+                modops.mont_mul(acc, s, p, pni), comps[k], p
+            )
+        coeff = ctx.plan.inv(acc, lo=0)
+        res = core.mont_to_rns(np.asarray(coeff), ctx.primes[:L])
+        x = core.crt_compose_centered(res, ctx.primes[:L])
+        q = ctx.q_at_level(L)
+        t = ctx.t
+        # round(t·x/q) = floor((2tx + q) / 2q), valid for negative x too
+        # (Python floor division is exact on bigints).
+        m = (x * (2 * t) + q) // (2 * q)
+        return (m % t).astype(np.uint64).astype(np.uint32)
+
+    def decrypt(self, ct: core.Ciphertext) -> np.ndarray:
+        enc = BfvBatchEncoder(self.ctx)
+        return enc.decode_poly(self.decrypt_poly(ct))
+
+    def noise_budget_bits(self, ct: core.Ciphertext) -> float:
+        """Remaining noise budget (diagnostic, like SEAL's
+        invariant_noise_budget)."""
+        ctx = self.ctx
+        L = ct.level
+        s = self.keys.secret_ntt[:L]
+        p, pni = ctx.consts(0, L)
+        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
+        acc = comps[-1]
+        for k in range(ct.size - 2, -1, -1):
+            acc = modops.mod_add(
+                modops.mont_mul(acc, s, p, pni), comps[k], p
+            )
+        coeff = ctx.plan.inv(acc, lo=0)
+        res = core.mont_to_rns(np.asarray(coeff), ctx.primes[:L])
+        x = core.crt_compose_centered(res, ctx.primes[:L])
+        q = ctx.q_at_level(L)
+        t = ctx.t
+        # v = t*x mod q centered = t*e-ish invariant noise numerator
+        v = (x * t) % q
+        v = np.where(v > q // 2, v - q, v)
+        vmax = int(np.abs(v).max())
+        if vmax == 0:
+            return float(q.bit_length())
+        return max(0.0, (q // (2 * vmax)).bit_length() - 1)

@@ -202,6 +202,17 @@ class BfvContext(Context):
             )
         )
         self.slots = n
+        # Auxiliary BEHZ bases for ct-ct multiply: B = k+1 31-bit primes
+        # (one more than q so B ≫ q gives Shenoy-Kumaresan headroom with
+        # same-width primes), plus m_sk; all NTT-friendly, distinct from
+        # q ∪ {special}.
+        aux = primegen.gen_ntt_primes(
+            self.L + 2, 31, two_n, avoid=self.primes + (t,)
+        )
+        self.aux_primes = tuple(aux[: self.L + 1])  # base B
+        self.m_sk = aux[self.L + 1]
+        self.bsk_primes = self.aux_primes + (self.m_sk,)
+        self.bsk_plan = ntt_mod.make_plan(n, self.bsk_primes)
 
 
 @functools.lru_cache(maxsize=None)
