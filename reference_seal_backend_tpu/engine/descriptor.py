@@ -1,0 +1,142 @@
+"""Benchmark descriptors: what the engine registry advertises.
+
+Mirror of the reference's use of ``hebench::APIBridge::BenchmarkDescriptor``
+(each ``*BenchmarkDescription`` fills workload / data type / category /
+scheme / security / algorithm-variant ``other`` and default workload
+params; see SURVEY.md §2.2).  Kept as a plain dataclass — the TPU engine
+has no C ABI to cross, but the registry surface (20 descriptors) matches
+the reference's ``SEALEngine::init`` (/root/reference
+src/engine/seal_engine.cpp:93-152).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+
+class Workload(str, enum.Enum):
+    ELTWISE_ADD = "eltwise_add"
+    ELTWISE_MULT = "eltwise_mult"
+    DOT_PRODUCT = "dot_product"
+    MATRIX_MULTIPLY = "matrix_multiply"
+    LOGREG_POLY_D3 = "logistic_regression_poly_d3"
+
+
+class Category(str, enum.Enum):
+    LATENCY = "latency"
+    OFFLINE = "offline"
+
+
+class Scheme(str, enum.Enum):
+    CKKS = "ckks"
+    BFV = "bfv"
+
+
+# Algorithm-variant ids for MatrixMultiply (reference `descriptor.other`):
+MATMULT_VAL = 0x00           # one matrix row per ciphertext
+MATMULT_CIPHERBATCHAXIS = 0x01  # one scalar element per ciphertext
+MATMULT_ROW = 0x02           # spacer row packing, M1 in one ciphertext
+
+SECURITY_128 = "128 bits"
+
+
+@dataclass(frozen=True)
+class BenchmarkDescriptor:
+    workload: Workload
+    scheme: Scheme
+    category: Category
+    other: int = 0  # algorithm variant id
+    data_type: str = ""  # float64 (ckks) / int64 (bfv), filled by registry
+    security: str = SECURITY_128
+    # Default workload parameters, overridable at benchmark creation —
+    # the analogue of the reference's default + flexible named params
+    # (PolyModulusDegree, MultiplicativeDepth, ..., NumThreads).
+    default_params: Dict[str, int] = field(default_factory=dict)
+
+    @property
+    def name(self) -> str:
+        variant = {
+            MATMULT_VAL: "",
+            MATMULT_CIPHERBATCHAXIS: "_cipherbatchaxis",
+            MATMULT_ROW: "_row",
+        }[self.other] if self.workload is Workload.MATRIX_MULTIPLY else ""
+        return (
+            f"{self.scheme.value}_{self.workload.value}{variant}"
+            f"_{self.category.value}"
+        )
+
+
+def _d(**kw) -> Dict[str, int]:
+    return dict(kw)
+
+
+def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
+    """The 20 benchmark registrations of the reference engine
+    (src/engine/seal_engine.cpp:108-151), with parameter defaults from
+    SURVEY.md §2.2 mapped onto this framework's composite-scale contexts."""
+    out = []
+    for cat in (Category.LATENCY, Category.OFFLINE):
+        for wl in (Workload.ELTWISE_ADD, Workload.ELTWISE_MULT):
+            out.append(
+                BenchmarkDescriptor(
+                    wl, Scheme.CKKS, cat, data_type="float64",
+                    default_params=_d(
+                        n=1000, poly_modulus_degree=8192, mult_depth=2
+                    ),
+                )
+            )
+            out.append(
+                BenchmarkDescriptor(
+                    wl, Scheme.BFV, cat, data_type="int64",
+                    default_params=_d(
+                        n=1000, poly_modulus_degree=8192, mult_depth=2
+                    ),
+                )
+            )
+        out.append(
+            BenchmarkDescriptor(
+                Workload.DOT_PRODUCT, Scheme.CKKS, cat, data_type="float64",
+                default_params=_d(
+                    n=100, poly_modulus_degree=8192, mult_depth=2
+                ),
+            )
+        )
+        out.append(
+            BenchmarkDescriptor(
+                Workload.DOT_PRODUCT, Scheme.BFV, cat, data_type="int64",
+                default_params=_d(
+                    n=100, poly_modulus_degree=8192, mult_depth=2
+                ),
+            )
+        )
+    for variant, depth in (
+        (MATMULT_VAL, 2),
+        (MATMULT_CIPHERBATCHAXIS, 3),
+        (MATMULT_ROW, 3),
+    ):
+        for scheme, dt in ((Scheme.CKKS, "float64"), (Scheme.BFV, "int64")):
+            out.append(
+                BenchmarkDescriptor(
+                    Workload.MATRIX_MULTIPLY, scheme, Category.LATENCY,
+                    other=variant, data_type=dt,
+                    default_params=_d(
+                        rows_m0=10, cols_m0=9, cols_m1=8,
+                        poly_modulus_degree=8192, mult_depth=depth,
+                    ),
+                )
+            )
+    for cat in (Category.LATENCY, Category.OFFLINE):
+        out.append(
+            BenchmarkDescriptor(
+                Workload.LOGREG_POLY_D3, Scheme.CKKS, cat,
+                data_type="float64",
+                default_params=_d(
+                    n=16, poly_modulus_degree=16384, mult_depth=6,
+                    batch_size=100,
+                ),
+            )
+        )
+    assert len(out) == 20
+    return tuple(out)

@@ -1,0 +1,144 @@
+"""Composite HE primitives shared by the workloads.
+
+TPU-native counterparts of the reference's ``SEALContextWrapper`` toolkit:
+
+* :func:`accumulate` — sum-across-slots by a log2 rotate-add tree
+  (reference accumulateCKKS /root/reference src/engine/seal_context.cpp:321-347
+  and accumulateBFV :289-319 including the rotate_columns fold when the
+  count spills into the second batching row).
+* :func:`collapse` — gather slot 0 of k ciphertexts into one ciphertext
+  (reference collapseCKKS :349-415).  The reference rotates each ciphertext
+  i by -i (k-1 distinct Galois keys, k-1 serial key-switches under OpenMP);
+  here we mask slot 0 and run a **log2(k) doubling merge**: each round
+  rotates half the survivors by a power-of-two step — one *batched*
+  key-switch per round with a single Galois element, which is both
+  asymptotically fewer key-switches and TPU-batch friendly.
+* :func:`evaluate_polynomial` — Horner evaluation with plaintext
+  coefficients (reference evaluatePolynomial :417-458).  Where the
+  reference mutates pre-encoded coefficient plaintexts and force-matches
+  scales (the "results will be wrong if scales are not close" comments),
+  we encode each coefficient lazily at the ciphertext's *exact* current
+  scale, so no forced-scale error is ever introduced.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from reference_seal_backend_tpu.evaluator.eval import Evaluator
+from reference_seal_backend_tpu.schemes.core import Ciphertext
+from reference_seal_backend_tpu.schemes import ckks as ckks_mod
+
+
+def rotations_for_accumulate(count: int, slots: int) -> List[int]:
+    """Power-of-two rotation steps accumulate() will use for ``count``."""
+    count = min(count, slots)
+    if count <= 1:
+        return []
+    return [1 << i for i in range(math.ceil(math.log2(count)))]
+
+
+def accumulate(ev: Evaluator, ct: Ciphertext, count: int) -> Ciphertext:
+    """Sum slots 0..count-1 into slot 0 (other slots hold partial sums).
+
+    CKKS: rotate_vector tree.  BFV: rotate_rows tree on the adjusted row
+    count, plus one rotate_columns when count exceeds the row size.
+    """
+    ctx = ev.ctx
+    if ctx.scheme == "bfv":
+        row = ctx.n // 2
+        row_count = min(count, row)
+        out = ct
+        for step in rotations_for_accumulate(row_count, row):
+            out = ev.add(out, ev.rotate(out, step))
+        if count > row:
+            out = ev.add(out, ev.conjugate(out))
+        return out
+    out = ct
+    for step in rotations_for_accumulate(count, ctx.slots):
+        out = ev.add(out, ev.rotate(out, step))
+    return out
+
+
+def collapse(
+    ev: Evaluator, cts: Ciphertext, count: int
+) -> Ciphertext:
+    """From a batched ciphertext [count, ...] whose samples hold their
+    value in slot 0, build one ciphertext with sample i's value in slot i.
+
+    CKKS only (like the reference).  Consumes one rescale level (the
+    one-hot mask multiply), like the reference's collapseCKKS.
+    Requires Galois keys for steps -2^s, s < ceil(log2(count)).
+    """
+    ctx = ev.ctx
+    if cts.data.ndim < 4 or cts.data.shape[0] < count:
+        raise ValueError("expected leading batch axis of >= count samples")
+    enc = ckks_mod.encoder_for(ctx)
+    # one-hot mask at slot 0, encoded at the cts' scale and level
+    mask = np.zeros(ctx.slots)
+    mask[0] = 1.0
+    pt = enc.encode(mask, scale=ctx.scale)
+    pt = ev.mod_switch_plain_to(pt, cts.level)
+    masked = ev.rescale_to_next(ev.multiply_plain(cts, pt))
+    # doubling merge: round s combines block pairs, rotating the odd
+    # block right by 2^s so its slots land after the even block's.
+    cur = masked
+    k = cur.data.shape[0]
+    s = 1
+    while k > 1:
+        pairs = k // 2
+        even = replace(cur, data=cur.data[0 : 2 * pairs : 2])
+        odd = replace(cur, data=cur.data[1 : 2 * pairs : 2])
+        moved = ev.rotate(odd, -s)
+        merged = ev.add(even, moved)
+        if k % 2:
+            merged = replace(
+                merged,
+                data=jnp.concatenate([merged.data, cur.data[-1:]], axis=0),
+            )
+        cur = merged
+        k = pairs + (k % 2)
+        s *= 2
+    return replace(cur, data=cur.data[0])
+
+
+def collapse_rotation_steps(count: int) -> List[int]:
+    """Galois rotation steps collapse() needs for a given batch size."""
+    if count <= 1:
+        return []
+    return [-(1 << s) for s in range(math.ceil(math.log2(count)))]
+
+
+def evaluate_polynomial(
+    ev: Evaluator,
+    encryptor: ckks_mod.CkksEncryptor,
+    ct: Ciphertext,
+    coeffs: Sequence[float],
+) -> Ciphertext:
+    """Horner evaluation of Σ coeffs[i]·x^i on a CKKS ciphertext.
+
+    Mirrors reference evaluatePolynomial: the running value starts as an
+    encryption of the top coefficient and each step computes r·x + a_i
+    with level matching, relinearization and rescale.  Needs
+    len(coeffs)-1 rescale levels below ct's current level.
+    """
+    ctx = ev.ctx
+    enc = ckks_mod.encoder_for(ctx)
+    if len(coeffs) == 0:
+        raise ValueError("polynomial needs at least one coefficient")
+    slots = np.full(ctx.slots, float(coeffs[-1]))
+    r = encryptor.encrypt_pt(enc.encode(slots, scale=ct.scale))
+    r = ev.mod_switch_to(r, ct.level)
+    x = ct
+    for a in list(coeffs[:-1])[::-1]:
+        x = ev.mod_switch_to(x, r.level)
+        r = ev.rescale_to_next(ev.relinearize(ev.multiply(r, x)))
+        pt = enc.encode(np.full(ctx.slots, float(a)), scale=r.scale)
+        pt = ev.mod_switch_plain_to(pt, r.level)
+        r = ev.add_plain(r, pt)
+    return r

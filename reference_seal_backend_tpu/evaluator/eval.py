@@ -39,12 +39,12 @@ from reference_seal_backend_tpu.schemes.params import Context
 _SCALE_RTOL = 1e-9
 
 
-def _check_binop(a: Ciphertext, b: Ciphertext):
+def _check_binop(a: Ciphertext, b: Ciphertext, check_scale: bool = True):
     if a.level != b.level:
         raise ValueError(
             f"level mismatch {a.level} != {b.level}; use mod_switch_to"
         )
-    if abs(a.scale - b.scale) > _SCALE_RTOL * abs(a.scale):
+    if check_scale and abs(a.scale - b.scale) > _SCALE_RTOL * abs(a.scale):
         raise ValueError(f"scale mismatch {a.scale} vs {b.scale}")
 
 
@@ -131,7 +131,7 @@ class Evaluator:
         """ct-ct multiply WITHOUT relinearization (3-component result),
         matching the reference's bare ``evaluator->multiply`` in eltwise
         (src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343)."""
-        _check_binop(a, b)
+        _check_binop(a, b, check_scale=False)
         if a.size != 2 or b.size != 2:
             raise NotImplementedError("multiply expects size-2 inputs")
         if self.ctx.scheme == "bfv":

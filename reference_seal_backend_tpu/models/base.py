@@ -1,0 +1,173 @@
+"""Benchmark base classes: the 7-step HEBench pipeline on TPU.
+
+Each benchmark owns its own context + keys, exactly like the reference
+creates one ``SEALContextWrapper`` per benchmark instance
+(/root/reference src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:121-155).
+The pipeline steps map as:
+
+  encode   host: cleartext -> RNS plaintext pytrees (host FFT/NTT + lift)
+  encrypt  device: public-key encryption
+  load     host->HBM placement (jax.device_put) — the reference fakes this
+           boundary with handle duplication (…:277-304); here it is a real
+           transfer
+  operate  jitted XLA graph over batched ciphertext pytrees (the timed step)
+  store    HBM->host (device_get)
+  decrypt  device arithmetic + host CRT compose
+  decode   host: coefficients -> cleartext, with the reference's 5e-5
+           epsilon clamp for CKKS (…:222-226)
+
+Batch (Offline) semantics replicate the reference's OpenMP loops as
+broadcast batch axes inside one jitted operate.
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+
+from reference_seal_backend_tpu.engine.descriptor import (
+    BenchmarkDescriptor,
+    Category,
+    Scheme,
+)
+from reference_seal_backend_tpu.evaluator.eval import Evaluator
+from reference_seal_backend_tpu.schemes import bfv as bfv_mod
+from reference_seal_backend_tpu.schemes import ckks as ckks_mod
+from reference_seal_backend_tpu.schemes import keys as keys_mod
+from reference_seal_backend_tpu.schemes.params import (
+    make_bfv_context,
+    make_ckks_context,
+)
+
+CKKS_EPS = 5e-5  # decode clamp, reference convention
+
+
+@dataclass
+class Handle:
+    """Opaque pipeline handle (the analogue of API-Bridge handles, minus
+    the pointer laundering): tagged payload."""
+
+    tag: str
+    payload: Any
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+class HEBenchmark(abc.ABC):
+    """One benchmark instance = context + keys + jitted operate."""
+
+    def __init__(
+        self,
+        descriptor: BenchmarkDescriptor,
+        params: Optional[Dict[str, int]] = None,
+    ):
+        self.descriptor = descriptor
+        p = dict(descriptor.default_params)
+        if params:
+            p.update(params)
+        self.params = p
+        self.category = descriptor.category
+        if descriptor.scheme is Scheme.CKKS:
+            self.ctx = make_ckks_context(
+                poly_modulus_degree=p["poly_modulus_degree"],
+                mult_depth=p["mult_depth"],
+            )
+            self.encoder = ckks_mod.CkksEncoder(self.ctx)
+        else:
+            self.ctx = make_bfv_context(
+                poly_modulus_degree=p["poly_modulus_degree"],
+                mult_depth=p["mult_depth"],
+                n_data_primes=p.get("n_data_primes", 4),
+            )
+            self.encoder = bfv_mod.BfvBatchEncoder(self.ctx)
+        galois_elts = self._galois_elements()
+        self.keys = keys_mod.keygen(
+            self.ctx,
+            seed=p.get("key_seed", 1234),
+            galois_elts=galois_elts,
+            need_relin=True,
+        )
+        if descriptor.scheme is Scheme.CKKS:
+            self.encryptor = ckks_mod.CkksEncryptor(self.ctx, self.keys)
+            self.decryptor = ckks_mod.CkksDecryptor(self.ctx, self.keys)
+        else:
+            self.encryptor = bfv_mod.BfvEncryptor(self.ctx, self.keys)
+            self.decryptor = bfv_mod.BfvDecryptor(self.ctx, self.keys)
+        self.ev = Evaluator(self.ctx, self.keys)
+
+    # ------------------------------------------------------------------ #
+
+    def rotation_steps(self) -> List[int]:
+        """Rotation steps this workload needs Galois keys for."""
+        return []
+
+    def needs_conjugation_key(self) -> bool:
+        return False
+
+    def _galois_elements(self) -> List[int]:
+        two_n = 2 * self.params["poly_modulus_degree"]
+        n = self.params["poly_modulus_degree"]
+        elts = [
+            pow(5, s % (n // 2), two_n) for s in self.rotation_steps()
+        ]
+        if self.needs_conjugation_key():
+            elts.append(two_n - 1)
+        return elts
+
+    # -- pipeline ------------------------------------------------------- #
+
+    @abc.abstractmethod
+    def encode(self, inputs: Sequence[np.ndarray]) -> Handle:
+        """Cleartext op parameters -> encoded plaintext handle."""
+
+    @abc.abstractmethod
+    def encrypt(self, encoded: Handle) -> Handle:
+        ...
+
+    def load(self, encrypted: Handle) -> Handle:
+        """Host -> device (HBM) placement of every array in the payload."""
+        payload = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x), encrypted.payload
+        )
+        return Handle(tag=encrypted.tag, payload=payload, meta=encrypted.meta)
+
+    @abc.abstractmethod
+    def operate(self, loaded: Handle) -> Handle:
+        """The timed homomorphic computation (jitted)."""
+
+    def store(self, result: Handle) -> Handle:
+        """Device -> host readback of result arrays."""
+        payload = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "device") else x,
+            result.payload,
+        )
+        return Handle(tag=result.tag, payload=payload, meta=result.meta)
+
+    @abc.abstractmethod
+    def decrypt(self, stored: Handle) -> Handle:
+        ...
+
+    @abc.abstractmethod
+    def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        """-> cleartext result arrays."""
+
+    # -- helpers ---------------------------------------------------------- #
+
+    def block(self, handle: Handle) -> Handle:
+        """Block until device work in the handle's arrays has finished
+        (used by the runner to time operate honestly)."""
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready()
+            if hasattr(x, "block_until_ready")
+            else x,
+            handle.payload,
+        )
+        return handle
+
+    def clamp_ckks(self, arr: np.ndarray) -> np.ndarray:
+        out = np.real(arr)
+        out[np.abs(out) < CKKS_EPS] = 0.0
+        return out
