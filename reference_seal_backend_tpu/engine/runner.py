@@ -1,0 +1,253 @@
+"""Harness-style end-to-end runner: the verification + timing oracle.
+
+The reference backend is tested exclusively by the external HEBench Test
+Harness: seeded random inputs, cleartext ground truth, decrypted-output
+comparison, and a final ``[ Info    ] Failed: 0`` line that CI greps for
+(/root/reference .github/workflows/validate_testharness_output.sh:7-13,
+cmake.yml:45-48).  This module reproduces that contract in-process:
+
+* ``--random_seed`` drives input generation (default 1234 like CI);
+* per-benchmark Latency timing (warmup + repeated operate) and Offline
+  batch throughput, timed around the ``operate`` step only, with
+  ``block_until_ready`` for honest device timing;
+* validation: BFV exact equality, CKKS absolute tolerance (the decode
+  path already applies the reference's 5e-5 clamp);
+* ``report.csv`` / ``summary.csv`` outputs mirroring the harness's
+  quickstart artifacts (quickstart_guide.md:66-68).
+
+Usage:
+    python -m reference_seal_backend_tpu.engine.runner \
+        --random_seed 1234 --benchmarks ckks_eltwise_add_latency …
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from reference_seal_backend_tpu.engine.descriptor import (
+    BenchmarkDescriptor,
+    Category,
+    Scheme,
+    Workload,
+)
+from reference_seal_backend_tpu.engine.registry import Engine
+
+
+@dataclass
+class RunResult:
+    name: str
+    passed: bool
+    wall_ms_operate: float
+    ops_per_sec: float
+    iterations: int
+    error: str = ""
+
+
+def _gen_inputs(
+    desc: BenchmarkDescriptor,
+    params: Dict[str, int],
+    rng: np.random.Generator,
+    batch0: int,
+    batch1: int,
+):
+    """Seeded random op parameters + a cleartext ground-truth function."""
+    wl = desc.workload
+    is_ckks = desc.scheme is Scheme.CKKS
+    if wl in (Workload.ELTWISE_ADD, Workload.ELTWISE_MULT, Workload.DOT_PRODUCT):
+        n = params["n"]
+        if is_ckks:
+            a = rng.uniform(-1, 1, (batch0, n))
+            b = rng.uniform(-1, 1, (batch1, n))
+        else:
+            # keep dot products within the plain modulus
+            hi = max(2, int((2 ** 19 / max(n, 1)) ** 0.5))
+            a = rng.integers(-hi, hi, (batch0, n))
+            b = rng.integers(-hi, hi, (batch1, n))
+        if wl is Workload.ELTWISE_ADD:
+            truth = lambda: [
+                a[i] + b[j] for i in range(batch0) for j in range(batch1)
+            ]
+        elif wl is Workload.ELTWISE_MULT:
+            truth = lambda: [
+                a[i] * b[j] for i in range(batch0) for j in range(batch1)
+            ]
+        else:
+            truth = lambda: [
+                np.atleast_1d(a[i] @ b[j])
+                for i in range(batch0)
+                for j in range(batch1)
+            ]
+        return [a, b], truth
+    if wl is Workload.MATRIX_MULTIPLY:
+        r0, c0, c1 = params["rows_m0"], params["cols_m0"], params["cols_m1"]
+        if is_ckks:
+            m0 = rng.uniform(-1, 1, (r0, c0))
+            m1 = rng.uniform(-1, 1, (c0, c1))
+        else:
+            hi = max(2, int((2 ** 19 / max(c0, 1)) ** 0.5))
+            m0 = rng.integers(-hi, hi, (r0, c0))
+            m1 = rng.integers(-hi, hi, (c0, c1))
+        return [m0, m1], lambda: [m0 @ m1]
+    if wl is Workload.LOGREG_POLY_D3:
+        n = params["n"]
+        batch = params.get("batch_size", 1) if desc.category is Category.OFFLINE else 1
+        w = rng.uniform(-1, 1, n)
+        b = float(rng.uniform(-1, 1))
+        x = rng.uniform(-1, 1, (batch, n))
+        sig = lambda z: 0.5 + 0.15012 * z - 0.0015930078125 * z ** 3
+        return [w, b, x], lambda: [sig(x @ w + b)]
+    raise KeyError(wl)
+
+
+def run_benchmark(
+    engine: Engine,
+    desc: BenchmarkDescriptor,
+    seed: int,
+    params: Optional[Dict[str, int]] = None,
+    sample_size: int = 3,
+    min_test_time_ms: float = 0.0,
+    warmup_iterations: int = 1,
+    atol: float = 5e-4,
+) -> RunResult:
+    name = desc.name
+    try:
+        bench = engine.create_benchmark(desc, params)
+        rng = np.random.default_rng(seed)
+        if desc.category is Category.OFFLINE:
+            b0 = 1 if desc.workload is Workload.LOGREG_POLY_D3 else sample_size
+            b1 = sample_size
+        else:
+            b0 = b1 = 1
+        inputs, truth_fn = _gen_inputs(desc, bench.params, rng, b0, b1)
+        h = bench.encode(inputs)
+        h = bench.encrypt(h)
+        loaded = bench.load(h)
+
+        # warmup (includes jit compile, like the harness's
+        # warmup_iterations_count for Latency)
+        for _ in range(max(warmup_iterations, 1)):
+            result = bench.block(bench.operate(loaded))
+
+        iters = 0
+        t0 = time.perf_counter()
+        while True:
+            result = bench.block(bench.operate(loaded))
+            iters += 1
+            elapsed = (time.perf_counter() - t0) * 1e3
+            if elapsed >= min_test_time_ms and iters >= 1:
+                break
+        wall_ms = elapsed / iters
+
+        outs = bench.decode(bench.decrypt(bench.store(result)))
+        want = truth_fn()
+        passed = len(outs) == len(want)
+        if passed:
+            for got, exp in zip(outs, want):
+                got = np.asarray(got).reshape(-1)
+                exp = np.asarray(exp, dtype=np.float64).reshape(-1)
+                if desc.scheme is Scheme.BFV:
+                    ok = np.array_equal(got.astype(np.int64), exp.astype(np.int64))
+                else:
+                    ok = np.allclose(got, exp, atol=atol, rtol=1e-3)
+                if not ok:
+                    passed = False
+                    break
+        n_results = len(want)
+        ops = n_results / (wall_ms / 1e3) if wall_ms > 0 else 0.0
+        return RunResult(name, passed, wall_ms, ops, iters)
+    except Exception as e:  # noqa: BLE001 — harness reports, not raises
+        return RunResult(name, False, 0.0, 0.0, 0, error=f"{type(e).__name__}: {e}")
+
+
+def run_all(
+    benchmark_names: Optional[Sequence[str]] = None,
+    seed: int = 1234,
+    sample_size: int = 3,
+    report_dir: Optional[str] = None,
+    params: Optional[Dict[str, int]] = None,
+    verbose: bool = True,
+) -> List[RunResult]:
+    engine = Engine()
+    names = benchmark_names or engine.names()
+    unknown = [n for n in names if n not in engine.names()]
+    if unknown:
+        raise SystemExit(
+            f"unknown benchmark(s): {', '.join(unknown)}\n"
+            f"available: {', '.join(engine.names())}"
+        )
+    results = []
+    for name in names:
+        desc = engine.find(name)
+        res = run_benchmark(
+            engine, desc, seed=seed, params=params, sample_size=sample_size
+        )
+        results.append(res)
+        if verbose:
+            status = "OK    " if res.passed else "FAILED"
+            print(
+                f"[ {status} ] {name}: operate {res.wall_ms_operate:.2f} ms, "
+                f"{res.ops_per_sec:.1f} result ops/s"
+                + (f" — {res.error}" if res.error else "")
+            )
+    failed = sum(1 for r in results if not r.passed)
+    if verbose:
+        # the exact CI grep contract of the reference
+        print(f"[ Info    ] Total: {len(results)}")
+        print(f"[ Info    ] Failed: {failed}")
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
+        with open(os.path.join(report_dir, "report.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(
+                ["benchmark", "passed", "operate_ms", "ops_per_sec", "iterations", "error"]
+            )
+            for r in results:
+                w.writerow(
+                    [r.name, int(r.passed), f"{r.wall_ms_operate:.4f}",
+                     f"{r.ops_per_sec:.2f}", r.iterations, r.error]
+                )
+        with open(os.path.join(report_dir, "summary.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["total", "failed"])
+            w.writerow([len(results), failed])
+    return results
+
+
+def main(argv=None):
+    from reference_seal_backend_tpu.utils import jaxcfg
+
+    jaxcfg.setup()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--random_seed", type=int, default=1234)
+    ap.add_argument("--benchmarks", nargs="*", default=None,
+                    help="benchmark names (default: all 20)")
+    ap.add_argument("--default_sample_size", type=int, default=3,
+                    help="offline batch size per parameter (CI uses 3)")
+    ap.add_argument("--report_root_path", default=None)
+    ap.add_argument("--poly_modulus_degree", type=int, default=None,
+                    help="override N for every benchmark")
+    args = ap.parse_args(argv)
+    params = (
+        {"poly_modulus_degree": args.poly_modulus_degree}
+        if args.poly_modulus_degree
+        else None
+    )
+    results = run_all(
+        args.benchmarks,
+        seed=args.random_seed,
+        sample_size=args.default_sample_size,
+        report_dir=args.report_root_path,
+        params=params,
+    )
+    return 1 if any(not r.passed for r in results) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

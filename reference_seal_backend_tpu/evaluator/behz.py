@@ -31,6 +31,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
@@ -136,7 +137,10 @@ class BehzTables:
 
 @functools.lru_cache(maxsize=None)
 def tables_for(ctx: BfvContext) -> BehzTables:
-    return BehzTables(ctx)
+    # Tables are cached across jit traces, so they must hold concrete
+    # arrays even when first requested from inside a trace.
+    with jax.ensure_compile_time_eval():
+        return BehzTables(ctx)
 
 
 def _mod_sum_axis(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -79,10 +79,17 @@ def collapse(
     if cts.data.ndim < 4 or cts.data.shape[0] < count:
         raise ValueError("expected leading batch axis of >= count samples")
     enc = ckks_mod.encoder_for(ctx)
-    # one-hot mask at slot 0, encoded at the cts' scale and level
+    # One-hot mask at slot 0.  Encoded at the *compensating* scale so the
+    # post-rescale result lands at exactly ctx.scale: the reference instead
+    # force-overrides scales before the bias add ("results will be wrong if
+    # scales are not close", …logreg_horner.cpp:459-465), which with this
+    # framework's ~26-bit composite primes would cost ~1e-4 absolute error.
+    drop = 1.0
+    for i in range(cts.level - ctx.rescale_group, cts.level):
+        drop *= ctx.data_primes[i]
     mask = np.zeros(ctx.slots)
     mask[0] = 1.0
-    pt = enc.encode(mask, scale=ctx.scale)
+    pt = enc.encode(mask, scale=drop * ctx.scale / cts.scale)
     pt = ev.mod_switch_plain_to(pt, cts.level)
     masked = ev.rescale_to_next(ev.multiply_plain(cts, pt))
     # doubling merge: round s combines block pairs, rotating the odd

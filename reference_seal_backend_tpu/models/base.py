@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from reference_seal_backend_tpu.engine.descriptor import (
     BenchmarkDescriptor,
@@ -171,3 +172,42 @@ class HEBenchmark(abc.ABC):
         out = np.real(arr)
         out[np.abs(out) < CKKS_EPS] = 0.0
         return out
+
+    # -- batched encode/encrypt/decrypt helpers --------------------------- #
+    #
+    # Encoders/encryptors are single-sample (they sit outside the timed
+    # operate step); batches stack into leading axes of one pytree so that
+    # operate is a single jitted XLA graph over the whole batch — the TPU
+    # replacement for the reference's OpenMP loops over samples
+    # (SURVEY.md §2.3).
+
+    def encode_batch(self, samples: np.ndarray):
+        """[B, n] cleartext -> Plaintext with leading batch axis [B, L, N]."""
+        from dataclasses import replace
+
+        samples = np.atleast_2d(np.asarray(samples))
+        pts = [self.encoder.encode(s) for s in samples]
+        return replace(pts[0], data=jnp.stack([p.data for p in pts]))
+
+    def encrypt_batch(self, pt):
+        """Plaintext [B, L, N] -> Ciphertext [B, 2, L, N]."""
+        from dataclasses import replace
+
+        cts = [
+            self.encryptor.encrypt_pt(replace(pt, data=pt.data[i]))
+            for i in range(pt.data.shape[0])
+        ]
+        return replace(cts[0], data=jnp.stack([c.data for c in cts]))
+
+    def decrypt_each(self, ct, batch_shape: Tuple[int, ...]):
+        """Decrypt a ciphertext with leading batch axes; yields flat order.
+
+        CKKS yields complex slot arrays; BFV yields int64 slot arrays.
+        """
+        from dataclasses import replace
+
+        data = np.asarray(ct.data)
+        flat = data.reshape((-1,) + data.shape[len(batch_shape) :])
+        for i in range(flat.shape[0]):
+            one = replace(ct, data=jnp.asarray(flat[i]))
+            yield self.decryptor.decrypt(one)

@@ -1,0 +1,107 @@
+"""Logistic-regression inference workload (CKKS, PolyD3 sigmoid).
+
+TPU-native counterpart of ``sbe::ckks::LogRegHornerBenchmark``
+(/root/reference src/benchmarks/ckks/seal_ckks_logreg_horner.cpp:388-481):
+``sigmoid(W·x + b)`` per input, sigmoid approximated by the degree-3
+polynomial with coefficients {0.5, 0.15012, 0.0, -0.0015930078125}
+(include/benchmarks/ckks/seal_ckks_logreg_horner.h:117).
+
+Pipeline per offline batch (one jitted graph):
+  1. dot products: W × X_i multiply → relinearize → accumulate → rescale,
+     the whole batch as one broadcast axis (reference: OMP loop :421-447);
+  2. collapse the batch of slot-0 dots into one ciphertext, value i in
+     slot i (reference collapseCKKS; here the log2 doubling merge of
+     evaluator/composite.py);
+  3. bias add with level matching (:459-465);
+  4. Horner evaluation of the sigmoid polynomial (:475-476).
+
+Operands arrive as the 3-tuple (W, b, X) matching the reference's
+EncodedOpParams handle (…logreg_horner.h:112-115); Offline data counts are
+{1, 1, batch} (…logreg_horner.cpp:38-45).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import List, Sequence
+
+import numpy as np
+import jax
+
+from reference_seal_backend_tpu.engine.descriptor import BenchmarkDescriptor
+from reference_seal_backend_tpu.evaluator import composite
+from reference_seal_backend_tpu.models.base import Handle, HEBenchmark
+
+SIGMOID_D3 = (0.5, 0.15012, 0.0, -0.0015930078125)
+
+
+class LogRegBenchmark(HEBenchmark):
+    def __init__(self, descriptor: BenchmarkDescriptor, params=None):
+        p = dict(descriptor.default_params)
+        if params:
+            p.update(params)
+        self.n = p["n"]
+        self.batch = (
+            p.get("batch_size", 1)
+            if descriptor.category.value == "offline"
+            else 1
+        )
+        super().__init__(descriptor, params)
+        if self.n > self.ctx.slots:
+            raise ValueError("feature count exceeds slot count")
+        if self.batch > self.ctx.slots:
+            raise ValueError("batch exceeds slot count")
+        self._op_jit = jax.jit(self._operate_impl)
+
+    def rotation_steps(self) -> List[int]:
+        steps = composite.rotations_for_accumulate(self.n, self.ctx.slots)
+        steps += composite.collapse_rotation_steps(self.batch)
+        return steps
+
+    # -- pipeline --------------------------------------------------------- #
+
+    def encode(self, inputs: Sequence[np.ndarray]) -> Handle:
+        """inputs = [W [n], b scalar, X [batch, n]]."""
+        w = np.asarray(inputs[0]).reshape(self.n)
+        b = float(np.asarray(inputs[1]).reshape(()))
+        x = np.atleast_2d(np.asarray(inputs[2]))
+        pt_w = self.encode_batch(w[None])
+        # bias replicated across slots so it lands on every collapsed dot
+        pt_b = self.encode_batch(np.full((1, self.ctx.slots), b))
+        pt_x = self.encode_batch(x)
+        return Handle(tag="logreg_pt", payload=(pt_w, pt_b, pt_x))
+
+    def encrypt(self, encoded: Handle) -> Handle:
+        cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
+        return Handle(tag="logreg_ct", payload=cts)
+
+    def _operate_impl(self, w, b, x):
+        ev = self.ev
+        # 1) batched dot products W·X_i  (w broadcasts over x's batch axis)
+        w1 = replace(w, data=w.data[0])
+        prod = ev.relinearize(ev.multiply(w1, x))
+        prod = ev.rescale_to_next(prod)
+        dots = composite.accumulate(ev, prod, self.n)
+        # 2) collapse batch into slots of one ciphertext
+        collapsed = composite.collapse(ev, dots, self.batch)
+        # 3) bias add at matched level and scale
+        b1 = replace(b, data=b.data[0])
+        b1 = ev.mod_switch_to(b1, collapsed.level)
+        b1 = replace(b1, scale=collapsed.scale)  # |Δscale| < 2^-40 relative
+        z = ev.add(collapsed, b1)
+        # 4) sigmoid ≈ degree-3 Horner
+        return composite.evaluate_polynomial(
+            ev, self.encryptor, z, SIGMOID_D3
+        )
+
+    def operate(self, loaded: Handle) -> Handle:
+        w, b, x = loaded.payload
+        out = self._op_jit(w, b, x)
+        return Handle(tag="logreg_result", payload=out)
+
+    def decrypt(self, stored: Handle) -> Handle:
+        vals = next(self.decrypt_each(stored.payload, ()))
+        return Handle(tag="logreg_clear", payload=vals)
+
+    def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        return [self.clamp_ckks(decrypted.payload[: self.batch])]
