@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.nums import primegen
@@ -131,7 +132,10 @@ class NttPlan:
         for k in range(n):
             k_src = ((g * (2 * k + 1)) % (2 * n) - 1) // 2
             perm[_bitrev(k, bits)] = _bitrev(k_src, bits)
-        arr = jnp.asarray(perm)
+        # Cached across jit traces — must be concrete even when first
+        # requested from inside a trace.
+        with jax.ensure_compile_time_eval():
+            arr = jnp.asarray(perm)
         self._galois_cache[g] = arr
         return arr
 

@@ -30,10 +30,12 @@ side with numpy Generators (keygen is one-time per context); the public
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
@@ -103,45 +105,69 @@ def _double_mont(ctx: Context, x: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     )
 
 
-def _make_switch_key(
-    ctx: Context,
-    rng: np.random.Generator,
-    s_ntt_full: jnp.ndarray,
-    s_src_ntt_full: jnp.ndarray,
-) -> SwitchKey:
-    """Build ksk encrypting P·s_src under s, per data limb."""
+@functools.lru_cache(maxsize=None)
+def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
+    """One jitted device function for the whole keygen (keys are rebuilt
+    per benchmark instance like the reference's
+    ``createKeysAndEncryptors``, src/engine/seal_context.cpp:46-70; run
+    eagerly this is hundreds of tiny dispatches — prohibitive over a
+    remote-chip tunnel)."""
     L = ctx.L
     nf = L + 1
-    p_full = ctx.p
-    pni_full = ctx.p_neg_inv
-    # Montgomery forms of [P mod q_i] per data row.
+    p_full, pni_full = ctx.p, ctx.p_neg_inv
     P = ctx.special_prime
-    p_mod_mont = np.array(
-        [[(P % q) * (1 << 32) % q] for q in ctx.data_primes],
-        dtype=np.uint32,
+    p_mod_mont = jnp.asarray(
+        np.array(
+            [[(P % q) * (1 << 32) % q] for q in ctx.data_primes],
+            dtype=np.uint32,
+        )
     )
-    bs, as_ = [], []
-    for i in range(L):
-        a_i = _uniform_ntt(ctx, rng, nf)
-        e_i = _to_ntt_mont(ctx, sample_error(rng, ctx.n), slice(0, nf))
-        b_i = modops.mod_neg(
+    n_sk = (1 if need_relin else 0) + len(elts)
+
+    def impl(s_res, a_pk, e_pk_res, a_sk, e_sk_res):
+        s_ntt = ctx.plan.fwd(s_res, lo=0)  # [nf, N]
+        p_d, pni_d = p_full[:L], pni_full[:L]
+        e_pk = ctx.plan.fwd(e_pk_res, lo=0)
+        b_pk = modops.mod_neg(
             modops.mod_add(
-                modops.mont_mul(a_i, s_ntt_full, p_full, pni_full),
-                e_i,
+                modops.mont_mul(a_pk, s_ntt[:L], p_d, pni_d), e_pk, p_d
+            ),
+            p_d,
+        )
+        if n_sk == 0:
+            return s_ntt, b_pk, None, None
+        # switch-key sources: s² for relin, σ_g(s) per Galois element
+        srcs = []
+        if need_relin:
+            srcs.append(modops.mont_mul(s_ntt, s_ntt, p_full, pni_full))
+        for g in elts:
+            srcs.append(ctx.plan.apply_galois_eval(s_ntt, g))
+        src = jnp.stack(srcs)  # [n_sk, nf, N]
+        e_sk = ctx.plan.fwd(e_sk_res, lo=0)
+        b = modops.mod_neg(
+            modops.mod_add(
+                modops.mont_mul(a_sk, s_ntt, p_full, pni_full),
+                e_sk,
                 p_full,
             ),
             p_full,
+        )  # [n_sk, L, nf, N]
+        # digit i additionally encrypts P·s_src on its own row q_i
+        terms = modops.mont_mul(
+            src[:, :L], p_mod_mont, p_d, pni_d
+        )  # [n_sk, L, N]
+        idx = jnp.arange(L)
+        b = b.at[:, idx, idx].set(
+            modops.mod_add(b[:, idx, idx], terms, p_d)
         )
-        term = modops.mont_mul(
-            s_src_ntt_full[i],
-            jnp.asarray(p_mod_mont[i]),
-            p_full[i],
-            pni_full[i],
+        return (
+            s_ntt,
+            b_pk,
+            _double_mont(ctx, b, nf),
+            _double_mont(ctx, a_sk, nf),
         )
-        b_i = b_i.at[i].set(modops.mod_add(b_i[i], term, p_full[i]))
-        bs.append(_double_mont(ctx, b_i, nf))
-        as_.append(_double_mont(ctx, a_i, nf))
-    return SwitchKey(b=jnp.stack(bs), a=jnp.stack(as_))
+
+    return jax.jit(impl)
 
 
 def keygen(
@@ -153,37 +179,70 @@ def keygen(
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0FFEE]))
     L = ctx.L
     nf = L + 1
+    two_n = 2 * ctx.n
+    elts = []
+    for g in galois_elts:
+        g = g % two_n
+        if g not in elts:
+            elts.append(g)
+    n_sk = (1 if need_relin else 0) + len(elts)
 
-    s = sample_ternary(rng, ctx.n)
-    s_ntt = _to_ntt_mont(ctx, s, slice(0, nf))  # full basis
+    def res(coeffs, primes):
+        return core.rns_to_mont(core.int_poly_to_rns(coeffs, primes), primes)
 
-    # Public key over data limbs only (fresh ciphertexts live there).
-    a_pk = _uniform_ntt(ctx, rng, L)
-    e_pk = _to_ntt_mont(ctx, sample_error(rng, ctx.n), slice(0, L))
-    p_d, pni_d = ctx.p[:L], ctx.p_neg_inv[:L]
-    b_pk = modops.mod_neg(
-        modops.mod_add(
-            modops.mont_mul(a_pk, s_ntt[:L], p_d, pni_d), e_pk, p_d
-        ),
-        p_d,
+    # host-side sampling, batched into whole-key arrays
+    s_res = res(sample_ternary(rng, ctx.n), ctx.primes)
+    a_pk = np.stack(
+        [
+            rng.integers(0, p, size=ctx.n, dtype=np.uint32)
+            for p in ctx.primes[:L]
+        ]
+    )
+    e_pk_res = res(sample_error(rng, ctx.n), ctx.primes[:L])
+    if n_sk:
+        a_sk = np.stack(
+            [
+                np.stack(
+                    [
+                        rng.integers(0, p, size=ctx.n, dtype=np.uint32)
+                        for p in ctx.primes
+                    ]
+                )
+                for _ in range(n_sk * L)
+            ]
+        ).reshape(n_sk, L, nf, ctx.n)
+        e_sk_res = np.stack(
+            [
+                res(sample_error(rng, ctx.n), ctx.primes)
+                for _ in range(n_sk * L)
+            ]
+        ).reshape(n_sk, L, nf, ctx.n)
+    else:
+        a_sk = np.zeros((0, L, nf, ctx.n), dtype=np.uint32)
+        e_sk_res = np.zeros((0, L, nf, ctx.n), dtype=np.uint32)
+
+    fn = _keygen_fn(ctx, tuple(elts), need_relin)
+    s_ntt, b_pk, b_sk, a_sk_out = fn(
+        jnp.asarray(s_res),
+        jnp.asarray(a_pk),
+        jnp.asarray(e_pk_res),
+        jnp.asarray(a_sk),
+        jnp.asarray(e_sk_res),
     )
 
     relin = None
+    k = 0
     if need_relin:
-        s2 = modops.mont_mul(s_ntt, s_ntt, ctx.p, ctx.p_neg_inv)
-        relin = _make_switch_key(ctx, rng, s_ntt, s2)
-
+        relin = SwitchKey(b=b_sk[0], a=a_sk_out[0])
+        k = 1
     galois: Dict[int, SwitchKey] = {}
-    for g in galois_elts:
-        g = g % (2 * ctx.n)
-        if g in galois:
-            continue
-        s_g = ctx.plan.apply_galois_eval(s_ntt, g)
-        galois[g] = _make_switch_key(ctx, rng, s_ntt, s_g)
+    for g in elts:
+        galois[g] = SwitchKey(b=b_sk[k], a=a_sk_out[k])
+        k += 1
 
     return KeySet(
         secret_ntt=s_ntt,
-        public=PublicKey(b=b_pk, a=a_pk),
+        public=PublicKey(b=b_pk, a=jnp.asarray(a_pk)),
         relin=relin,
         galois=galois,
     )

@@ -1,0 +1,117 @@
+"""Sharded execution tests on the 8-virtual-device CPU mesh.
+
+Verifies that the evaluator's pure functions run unmodified under GSPMD
+with batch (dp) and limb sharding, producing results identical to the
+unsharded path — the TPU replacement for the reference's OpenMP layer
+(SURVEY.md §2.3-2.4).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from reference_seal_backend_tpu.evaluator import composite
+from reference_seal_backend_tpu.evaluator.eval import Evaluator
+from reference_seal_backend_tpu.parallel import mesh as mesh_mod
+from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
+from reference_seal_backend_tpu.schemes.params import make_ckks_context
+
+N = 2048
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
+    ks = keys_mod.keygen(
+        ctx, seed=5, galois_elts=[pow(5, 1 << s, 2 * N) for s in range(4)]
+    )
+    enc = ckks.CkksEncoder(ctx)
+    encryptor = ckks.CkksEncryptor(ctx, ks)
+    dec = ckks.CkksDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    return ctx, ks, enc, encryptor, dec, ev
+
+
+def _encrypt_batch(ctx, enc, encryptor, vals):
+    from dataclasses import replace
+    import jax.numpy as jnp
+
+    cts = [encryptor.encrypt_pt(enc.encode(v)) for v in vals]
+    return replace(cts[0], data=jnp.stack([c.data for c in cts]))
+
+
+def test_dp_and_limb_sharded_eltwise(setup):
+    ctx, ks, enc, encryptor, dec, ev = setup
+    m = mesh_mod.make_mesh(8, ("dp", "limb"))
+    assert m.shape == {"dp": 4, "limb": 2}
+    vals = RNG.uniform(-1, 1, (4, ctx.slots))
+    ct = _encrypt_batch(ctx, enc, encryptor, vals)
+    ct_sh = mesh_mod.shard_ct(
+        ct, m, n_batch_axes=1, batch_axes=("dp",), limb_axis="limb"
+    )
+
+    mult = jax.jit(lambda a: ev.multiply(a, a))
+    out_ref = mult(ct)
+    out_sh = mult(ct_sh)
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.data), np.asarray(out_sh.data)
+    )
+    got = dec.decrypt(
+        type(out_sh)(
+            data=out_sh.data[1], level=out_sh.level, scale=out_sh.scale
+        )
+    ).real
+    np.testing.assert_allclose(got, vals[1] ** 2, atol=5e-5)
+
+
+def test_dp_sharded_rotation_keyswitch(setup):
+    """Batched rotations (Galois key-switch) under dp sharding: the whole
+    batch shares each key-switch as one sharded NTT sweep."""
+    ctx, ks, enc, encryptor, dec, ev = setup
+    m = mesh_mod.make_mesh(8, ("dp",))
+    vals = RNG.uniform(-1, 1, (8, ctx.slots))
+    ct = _encrypt_batch(ctx, enc, encryptor, vals)
+    ct_sh = mesh_mod.shard_ct(ct, m, n_batch_axes=1)
+    keys_repl = mesh_mod.replicate(ks, m)
+    ev_sh = Evaluator(ctx, keys_repl)
+
+    rot = jax.jit(lambda a: ev_sh.rotate(a, 2))
+    out = rot(ct_sh)
+    for i in (0, 5):
+        got = dec.decrypt(
+            type(out)(data=out.data[i], level=out.level, scale=out.scale)
+        ).real
+        np.testing.assert_allclose(got, np.roll(vals[i], -2), atol=5e-5)
+
+
+def test_limb_sharded_keyswitch_compiles(setup):
+    """Limb sharding across a key-switch: the digit lift couples limbs,
+    forcing GSPMD to insert collectives — must still be exact."""
+    ctx, ks, enc, encryptor, dec, ev = setup
+    m = mesh_mod.make_mesh(8, ("dp", "limb"))
+    vals = RNG.uniform(-1, 1, (2, ctx.slots))
+    ct = _encrypt_batch(ctx, enc, encryptor, vals)
+    ct_sh = mesh_mod.shard_ct(
+        ct, m, n_batch_axes=1, batch_axes=(None,), limb_axis="limb"
+    )
+    fn = jax.jit(
+        lambda a: composite.accumulate(
+            ev, ev.rescale_to_next(ev.relinearize(ev.multiply(a, a))), 8
+        )
+    )
+    out_ref = fn(ct)
+    out_sh = fn(ct_sh)
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.data), np.asarray(out_sh.data)
+    )
+    got = dec.decrypt(
+        type(out_sh)(
+            data=out_sh.data[0], level=out_sh.level, scale=out_sh.scale
+        )
+    ).real
+    want = np.empty_like(vals[0])
+    sq = vals[0] ** 2
+    for i in range(ctx.slots):
+        want[i] = sq[(i + np.arange(8)) % ctx.slots].sum()
+    np.testing.assert_allclose(got[:64], want[:64], rtol=1e-5, atol=5e-4)
