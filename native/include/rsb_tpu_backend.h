@@ -1,0 +1,66 @@
+/* C ABI of the TPU-native HE benchmark backend.
+ *
+ * The runtime counterpart of the reference backend's HEBench API Bridge
+ * surface (engine create/destroy + benchmark lifecycle + the 7-step
+ * encode/encrypt/load/operate/store/decrypt/decode pipeline — see
+ * /root/reference src/engine/seal_engine.cpp:36-83 and SURVEY.md L1/L2).
+ * All objects are opaque int64 ids; cleartext crosses as JSON; errors are
+ * returned as negative ids with the message readable via
+ * rsbtpu_last_error().
+ */
+#ifndef RSB_TPU_BACKEND_H
+#define RSB_TPU_BACKEND_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* Process-wide init/teardown of the embedded Python runtime.
+ * rsbtpu_initialize is idempotent; returns 0 on success. */
+int rsbtpu_initialize(void);
+void rsbtpu_finalize(void);
+
+/* Engine lifecycle. Returns engine id > 0, or < 0 on error. */
+int64_t rsbtpu_engine_create(void);
+void rsbtpu_engine_destroy(int64_t engine);
+
+/* Benchmark registry: count and names of registered descriptors. */
+int64_t rsbtpu_benchmark_count(int64_t engine);
+/* Copies the name into buf (NUL-terminated, truncated to buf_len).
+ * Returns name length or < 0. */
+int64_t rsbtpu_benchmark_name(int64_t engine, int64_t index, char *buf,
+                              int64_t buf_len);
+
+/* Create a benchmark instance by descriptor name with JSON workload
+ * params (e.g. {"poly_modulus_degree": 4096, "n": 100}); NULL/"" keeps
+ * defaults. */
+int64_t rsbtpu_benchmark_create(int64_t engine, const char *name,
+                                const char *params_json);
+void rsbtpu_benchmark_destroy(int64_t benchmark);
+
+/* 7-step pipeline. Inputs to encode are JSON (list per op-param, each a
+ * list of samples / values). Every step returns a new handle id (> 0) or
+ * < 0 on error. operate blocks until device work completes. */
+int64_t rsbtpu_encode(int64_t benchmark, const char *inputs_json);
+int64_t rsbtpu_encrypt(int64_t benchmark, int64_t handle);
+int64_t rsbtpu_load(int64_t benchmark, int64_t handle);
+int64_t rsbtpu_operate(int64_t benchmark, int64_t handle);
+int64_t rsbtpu_store(int64_t benchmark, int64_t handle);
+int64_t rsbtpu_decrypt(int64_t benchmark, int64_t handle);
+/* Returns a malloc'd JSON string (caller frees with rsbtpu_free) or NULL. */
+char *rsbtpu_decode(int64_t benchmark, int64_t handle);
+
+void rsbtpu_handle_destroy(int64_t handle);
+void rsbtpu_free(char *p);
+
+/* Last error message for the calling thread's most recent failure
+ * (returns a malloc'd string; free with rsbtpu_free). */
+char *rsbtpu_last_error(void);
+
+#ifdef __cplusplus
+} /* extern "C" */
+#endif
+
+#endif /* RSB_TPU_BACKEND_H */

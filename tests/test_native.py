@@ -1,0 +1,105 @@
+"""Native C-ABI shim tests.
+
+Exercises the same runtime seam the reference exposes as its plugin
+shared library (SURVEY.md §1 L1-L2): engine factory, benchmark registry,
+and the 7-step pipeline crossing a C ABI backed by embedded CPython.
+
+The pipeline is driven through the standalone ``rsb_native_harness``
+binary in a subprocess — the realistic embedding path (and isolated from
+the test runner: an embedding bug cannot take pytest down with it).
+In-process ctypes coverage is limited to the registry surface, which
+stays off the JAX compile path (XLA compilation inside a ctypes call
+deadlocks under pytest's runner).
+"""
+
+import ctypes
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+BUILD = os.path.join(NATIVE, "build")
+LIB = os.path.join(BUILD, "librsb_tpu_backend.so")
+HARNESS = os.path.join(BUILD, "rsb_native_harness")
+
+def _env():
+    import numpy
+
+    site = os.path.dirname(os.path.dirname(numpy.__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{site}"
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.fixture(scope="module")
+def built():
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    if not (os.path.exists(LIB) and os.path.exists(HARNESS)):
+        gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+        subprocess.run(
+            ["cmake", "-S", NATIVE, "-B", BUILD, "-DCMAKE_BUILD_TYPE=Release"]
+            + gen,
+            check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            ["cmake", "--build", BUILD], check=True, capture_output=True
+        )
+    return BUILD
+
+
+def test_harness_end_to_end(built):
+    """Full 7-step pipeline through the C ABI: seeded inputs, C++-side
+    ground truth, 'Failed: 0' contract."""
+    r = subprocess.run(
+        [HARNESS, "--poly", "2048", "--n", "64"],
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert "[ Info    ] Failed: 0" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert r.returncode == 0
+
+
+def test_harness_error_surface(built):
+    r = subprocess.run(
+        [HARNESS, "--poly", "2048", "no_such_benchmark"],
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 1
+    assert "Failed: 1" in r.stdout
+    assert "no_such_benchmark" in r.stderr
+
+
+def test_registry_in_process(built):
+    lib = ctypes.CDLL(LIB)
+    lib.rsbtpu_initialize.restype = ctypes.c_int
+    lib.rsbtpu_engine_create.restype = ctypes.c_int64
+    lib.rsbtpu_benchmark_count.restype = ctypes.c_int64
+    lib.rsbtpu_benchmark_name.restype = ctypes.c_int64
+    lib.rsbtpu_benchmark_name.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
+    assert lib.rsbtpu_initialize() == 0
+    eng = lib.rsbtpu_engine_create()
+    assert eng > 0
+    assert lib.rsbtpu_benchmark_count(eng) == 20
+    names = set()
+    for i in range(20):
+        buf = ctypes.create_string_buffer(128)
+        assert lib.rsbtpu_benchmark_name(eng, i, buf, 128) > 0
+        names.add(buf.value.decode())
+    assert "ckks_logistic_regression_poly_d3_latency" in names
+    assert len(names) == 20
