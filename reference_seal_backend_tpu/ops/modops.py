@@ -58,6 +58,22 @@ def mont_mul(a, b, p, p_neg_inv):
     return t - (t >= p).astype(U32) * p
 
 
+def shoup_mul(x, w, ws, p):
+    """x·w mod p for a *precomputed constant* w (< p), via Shoup's trick.
+
+    ``ws = floor(w·2**32 / p)`` host-precomputed.  Exact for any uint32 x
+    and p < 2**31 (error analysis: q = umulhi(x, ws) undershoots
+    floor(x·w/p) by < 2, so r = x·w - q·p lands in [0, 2p)).  Costs one
+    umulhi + two low multiplies — roughly half a Montgomery product; used
+    for every twiddle/constant multiply on the NTT hot path (SEAL/HEXL use
+    the same trick on CPU).  Montgomery-form-agnostic: multiplying a
+    Montgomery-form operand by a plain constant keeps the form.
+    """
+    q = umulhi32(x, ws)
+    r = x * w - q * p
+    return r - (r >= p).astype(U32) * p
+
+
 def mod_add(a, b, p):
     """(a + b) mod p for a, b in [0, p), p < 2**31 — sum fits uint32."""
     s = a + b

@@ -1,20 +1,30 @@
-"""Negacyclic NTT/iNTT over RNS limbs as vectorized JAX stage butterflies.
+"""Negacyclic NTT/iNTT over RNS limbs, vectorized for TPU.
 
-Layout: residue polynomials are ``uint32 [..., L, N]`` in Montgomery form,
-limb-major (one row per RNS prime).  A forward stage with ``m`` groups views
-the coefficient axis as ``(m, 2, t)`` and performs the whole butterfly level
-as one broadcast Montgomery multiply + modular add/sub — XLA maps this onto
-the VPU with no scalar loops.  All ``log2 N`` stages are unrolled at trace
-time.  Twiddle tables are host-precomputed per (prime, N) in Montgomery
-form, stacked across limbs so all limbs transform in one op.
+Layout: residue polynomials are ``uint32 [..., L, N]``, limb-major (one row
+per RNS prime); data may be in Montgomery or normal form (the transform is
+form-agnostic).  Twiddle multiplies use **Shoup's precomputed-constant
+trick** (modops.shoup_mul) — one umulhi + two low multiplies, about half a
+Montgomery product — with per-stage (w, w_shoup) tables host-precomputed
+per (prime, N) and stacked across limbs so all limbs transform in one op.
 
 Forward: Cooley-Tukey/DIT, natural coefficient order in, bit-reversed
 evaluation order out (out[bitrev(k)] = x(psi^(2k+1))).  Inverse:
 Gentleman-Sande, exactly undoing the forward stages, with the final N^{-1}
-scale folded into one Montgomery multiply.  No explicit bit-reversal
+scale folded into one Shoup multiply.  No explicit bit-reversal
 permutation is ever materialized; dyadic (pointwise) ciphertext ops work
 directly in the scrambled order, and Galois automorphisms become index
 permutations in this order (see :meth:`NttPlan.galois_perm`).
+
+Layout (four-step form): for N >= 256 the coefficient axis is viewed as an
+``[n1, 128]`` matrix.  Early stages (butterfly distance t >= 128) pair
+whole rows, so every vector op runs along the 128-wide contiguous minor
+axis (exactly one VPU lane tile); then one ``[n1, 128]`` transpose; late
+stages (t < 128) pair rows of the transposed matrix, again minor-axis
+contiguous.  This keeps all log2(N) stages on (8,128)-aligned data instead
+of degrading to stride-1 butterflies, which is the difference between VPU
+speed-of-light and permute-bound on TPU.  Same stage order as the flat
+loop — bit-exact identical outputs.  On TPU the whole multi-stage sweep
+runs as one fused Pallas kernel (ops/pallas/ntt_kernel.py).
 
 This replaces SEAL's sequential CPU NTT, which dominates every evaluator
 call the reference backend makes (e.g. /root/reference
@@ -25,6 +35,7 @@ src/benchmarks/ckks/seal_ckks_matmult_row_benchmark.cpp:509).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
@@ -37,49 +48,89 @@ from reference_seal_backend_tpu.nums.polyref import _bitrev
 from reference_seal_backend_tpu.ops import modops
 
 
-def _mont(x: int, p: int) -> int:
-    return (x << 32) % p
+def _pallas_enabled() -> bool:
+    """Use the fused Pallas NTT kernel?  RSB_TPU_PALLAS=on|off (default
+    off).  Measured on a v5p chip the XLA four-step path is currently
+    *faster* (1.9 vs 3.3 us/row at N=16384×7 limbs — Mosaic relayouts on
+    the 5D butterfly joins outweigh the HBM-fusion win), so the fused
+    kernel stays opt-in until its layout is tuned; it remains bit-exact
+    and tested (tests/test_pallas_ntt.py)."""
+    return os.environ.get("RSB_TPU_PALLAS", "off") == "on"
 
 
 @dataclass(frozen=True)
 class NttPlan:
-    """Precomputed NTT schedule for a fixed (N, primes) limb stack."""
+    """Precomputed NTT schedule for a fixed (N, primes) limb stack.
+
+    Twiddle tables come in (w, w_shoup) pairs for modops.shoup_mul.
+    """
 
     n: int
     primes: Tuple[int, ...]
     psis: Tuple[int, ...]
     p: jnp.ndarray          # [L, 1] uint32
     p_neg_inv: jnp.ndarray  # [L, 1]
-    fwd_tw: Tuple[jnp.ndarray, ...]  # stage s: [L, 2^s, 1] Montgomery form
-    inv_tw: Tuple[jnp.ndarray, ...]
-    n_inv_mont: jnp.ndarray  # [L, 1] Montgomery form of N^{-1}
+    fwd_tw: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]  # stage s: [L, 2^s, 1]
+    inv_tw: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
+    n_inv: Tuple[jnp.ndarray, jnp.ndarray]  # [L, 1] plain N^{-1} (w, ws)
+    # four-step matrix layout (n2=0 when n < 256): n = n1 * n2 with n2=128;
+    # stage s >= s1 twiddles as [L, m2, 1, n1] tables over the transposed
+    # [n2, n1] view (see module docstring).
+    n2: int = 0
+    fwd_tw2: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...] = ()
+    inv_tw2: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...] = ()
+    # Lane-expanded twiddles for the fused Pallas kernel
+    # (ops/pallas/ntt_kernel.py): phase-1 [L, s1, n1/2, n2] — stage s plane
+    # (g*tr + jr, lane) = w_g; phase-2 [L, bits-s1, n2/2, n1] — stage plane
+    # (j2*t + jt, r) = w_{r*m2+j2}.  Fully materialized so the kernel does
+    # plain same-shape multiplies (Mosaic-friendly: no unit-dim reshapes).
+    pk1_fwd: Tuple[jnp.ndarray, jnp.ndarray] = None
+    pk1_inv: Tuple[jnp.ndarray, jnp.ndarray] = None
+    pk2_fwd: Tuple[jnp.ndarray, jnp.ndarray] = None
+    pk2_inv: Tuple[jnp.ndarray, jnp.ndarray] = None
     _galois_cache: Dict[int, jnp.ndarray] = field(
         default_factory=dict, hash=False, compare=False
     )
 
+    @property
+    def n1(self) -> int:
+        return self.n // self.n2 if self.n2 else 0
+
+    @property
+    def s1(self) -> int:
+        """Number of leading stages handled in row-major [n1, n2] layout."""
+        return self.n1.bit_length() - 1 if self.n2 else 0
+
     # -- transforms ---------------------------------------------------------
 
     def fwd(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
-        """Forward negacyclic NTT of [..., l, N] Montgomery-form residues.
+        """Forward negacyclic NTT of [..., l, N] residues.
 
         ``lo`` selects which rows of the plan's limb stack the data
         corresponds to: limbs [lo, lo + x.shape[-2]).  A ciphertext at a
         lower level passes its prefix of limbs with lo=0; the key-switch
-        special-modulus row passes lo = L_full - 1.  Works on normal-form
-        residues too (the butterfly is Montgomery-form-invariant).
+        special-modulus row passes lo = L_full - 1.  Montgomery/normal
+        form is preserved (the butterfly is form-invariant).
         """
+        if self.n2:
+            if _pallas_enabled():
+                from reference_seal_backend_tpu.ops.pallas import ntt_kernel
+
+                return ntt_kernel.transform(self, x, lo, inverse=False)
+            return self._fwd_mat(x, lo)
         n = self.n
         lead = x.shape[:-1]
         nl = x.shape[-2]
         p = self.p[lo : lo + nl, :, None]
-        pni = self.p_neg_inv[lo : lo + nl, :, None]
         m, t = 1, n // 2
         for s in range(n.bit_length() - 1):
             xv = x.reshape(*lead, m, 2, t)
             u = xv[..., 0, :]
             v = xv[..., 1, :]
-            w = self.fwd_tw[s][lo : lo + nl]  # [l, m, 1]
-            tv = modops.mont_mul(v, w, p, pni)
+            w, ws = self.fwd_tw[s]
+            tv = modops.shoup_mul(
+                v, w[lo : lo + nl], ws[lo : lo + nl], p
+            )
             x = jnp.stack(
                 [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
                 axis=-2,
@@ -87,30 +138,137 @@ class NttPlan:
             m, t = m * 2, t // 2
         return x
 
+    def _fwd_mat(self, x: jnp.ndarray, lo: int) -> jnp.ndarray:
+        """Four-step-layout forward NTT (same stages, TPU-friendly strides)."""
+        n, n1, n2, s1 = self.n, self.n1, self.n2, self.s1
+        bits = n.bit_length() - 1
+        lead = x.shape[:-1]  # includes the limb axis
+        nl = x.shape[-2]
+        p = self.p[lo : lo + nl, :, None, None]
+        x = x.reshape(*lead, n1, n2)
+        for s in range(s1):
+            m = 1 << s
+            tr = n1 >> (s + 1)  # butterfly distance in rows
+            xv = x.reshape(*lead, m, 2, tr, n2)
+            u = xv[..., 0, :, :]
+            v = xv[..., 1, :, :]
+            w, ws = self.fwd_tw[s]
+            tv = modops.shoup_mul(
+                v,
+                w[lo : lo + nl][..., None],
+                ws[lo : lo + nl][..., None],
+                p,
+            )
+            x = jnp.stack(
+                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
+                axis=-3,
+            ).reshape(*lead, n1, n2)
+        xt = jnp.swapaxes(x, -1, -2)  # [..., n2, n1]
+        for s in range(s1, bits):
+            t = n >> (s + 1)
+            m2 = n2 // (2 * t)
+            xv = xt.reshape(*lead, m2, 2, t, n1)
+            u = xv[..., 0, :, :]
+            v = xv[..., 1, :, :]
+            w, ws = self.fwd_tw2[s - s1]
+            tv = modops.shoup_mul(
+                v, w[lo : lo + nl], ws[lo : lo + nl], p
+            )
+            xt = jnp.stack(
+                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
+                axis=-3,
+            ).reshape(*lead, n2, n1)
+        return jnp.swapaxes(xt, -1, -2).reshape(*lead, n)
+
     def inv(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
         """Inverse negacyclic NTT (exact inverse of :meth:`fwd`)."""
+        if self.n2:
+            if _pallas_enabled():
+                from reference_seal_backend_tpu.ops.pallas import ntt_kernel
+
+                return ntt_kernel.transform(self, x, lo, inverse=True)
+            return self._inv_mat(x, lo)
         n = self.n
         lead = x.shape[:-1]
         nl = x.shape[-2]
         p = self.p[lo : lo + nl, :, None]
-        pni = self.p_neg_inv[lo : lo + nl, :, None]
         m, t = n // 2, 1
         for s in range(n.bit_length() - 2, -1, -1):
             xv = x.reshape(*lead, m, 2, t)
             u = xv[..., 0, :]
             v = xv[..., 1, :]
-            w = self.inv_tw[s][lo : lo + nl]
+            w, ws = self.inv_tw[s]
             diff = modops.mod_sub(u, v, p)
             x = jnp.stack(
-                [modops.mod_add(u, v, p), modops.mont_mul(diff, w, p, pni)],
+                [
+                    modops.mod_add(u, v, p),
+                    modops.shoup_mul(
+                        diff, w[lo : lo + nl], ws[lo : lo + nl], p
+                    ),
+                ],
                 axis=-2,
             ).reshape(*lead, n)
             m, t = m // 2, t * 2
-        return modops.mont_mul(
+        nw, nws = self.n_inv
+        return modops.shoup_mul(
             x,
-            self.n_inv_mont[lo : lo + nl],
+            nw[lo : lo + nl],
+            nws[lo : lo + nl],
             self.p[lo : lo + nl],
-            self.p_neg_inv[lo : lo + nl],
+        )
+
+    def _inv_mat(self, x: jnp.ndarray, lo: int) -> jnp.ndarray:
+        """Four-step-layout inverse NTT (exact inverse of :meth:`_fwd_mat`)."""
+        n, n1, n2, s1 = self.n, self.n1, self.n2, self.s1
+        bits = n.bit_length() - 1
+        lead = x.shape[:-1]
+        nl = x.shape[-2]
+        p = self.p[lo : lo + nl, :, None, None]
+        xt = jnp.swapaxes(x.reshape(*lead, n1, n2), -1, -2)  # [..., n2, n1]
+        for s in range(bits - 1, s1 - 1, -1):
+            t = n >> (s + 1)
+            m2 = n2 // (2 * t)
+            xv = xt.reshape(*lead, m2, 2, t, n1)
+            u = xv[..., 0, :, :]
+            v = xv[..., 1, :, :]
+            w, ws = self.inv_tw2[s - s1]
+            diff = modops.mod_sub(u, v, p)
+            xt = jnp.stack(
+                [
+                    modops.mod_add(u, v, p),
+                    modops.shoup_mul(
+                        diff, w[lo : lo + nl], ws[lo : lo + nl], p
+                    ),
+                ],
+                axis=-3,
+            ).reshape(*lead, n2, n1)
+        x = jnp.swapaxes(xt, -1, -2)  # [..., n1, n2]
+        for s in range(s1 - 1, -1, -1):
+            m = 1 << s
+            tr = n1 >> (s + 1)
+            xv = x.reshape(*lead, m, 2, tr, n2)
+            u = xv[..., 0, :, :]
+            v = xv[..., 1, :, :]
+            w, ws = self.inv_tw[s]
+            diff = modops.mod_sub(u, v, p)
+            x = jnp.stack(
+                [
+                    modops.mod_add(u, v, p),
+                    modops.shoup_mul(
+                        diff,
+                        w[lo : lo + nl][..., None],
+                        ws[lo : lo + nl][..., None],
+                        p,
+                    ),
+                ],
+                axis=-3,
+            ).reshape(*lead, n1, n2)
+        nw, nws = self.n_inv
+        return modops.shoup_mul(
+            x.reshape(*lead, n),
+            nw[lo : lo + nl],
+            nws[lo : lo + nl],
+            self.p[lo : lo + nl],
         )
 
     # -- Galois automorphisms ----------------------------------------------
@@ -144,42 +302,91 @@ class NttPlan:
         return jnp.take(x, self.galois_perm(g), axis=-1)
 
 
+def _shoup_np(w: np.ndarray, primes, axes_per_limb: int) -> np.ndarray:
+    """floor(w * 2**32 / p) elementwise; w indexed [L, ...]."""
+    p = np.array(primes, dtype=np.uint64).reshape(
+        (-1,) + (1,) * axes_per_limb
+    )
+    return ((w.astype(np.uint64) << 32) // p).astype(np.uint32)
+
+
 @functools.lru_cache(maxsize=None)
 def make_plan(n: int, primes: Tuple[int, ...]) -> NttPlan:
     """Build (and cache) the NTT plan for modulus stack ``primes`` at size n."""
     bits = n.bit_length() - 1
     assert 1 << bits == n, "N must be a power of two"
     psis = tuple(primegen.min_root_of_unity(2 * n, p) for p in primes)
+    nl_ = len(primes)
+    roots = np.zeros((nl_, n), dtype=np.uint32)
+    iroots = np.zeros((nl_, n), dtype=np.uint32)
+    for li, (p, psi) in enumerate(zip(primes, psis)):
+        r = [pow(psi, _bitrev(i, bits), p) for i in range(n)]
+        roots[li] = np.array(r, dtype=np.uint32)
+        iroots[li] = np.array(
+            [pow(x, -1, p) for x in r], dtype=np.uint32
+        )
+
+    def pair(w: np.ndarray, axes_per_limb: int):
+        return (
+            jnp.asarray(w),
+            jnp.asarray(_shoup_np(w, primes, axes_per_limb)),
+        )
+
     fwd_stages = []
     inv_stages = []
-    roots_all = []
-    for p, psi in zip(primes, psis):
-        roots = [pow(psi, _bitrev(i, bits), p) for i in range(n)]
-        roots_all.append(roots)
     for s in range(bits):
         m = 1 << s
-        fwd = np.array(
-            [
-                [_mont(roots_all[li][m + i], p) for i in range(m)]
-                for li, p in enumerate(primes)
-            ],
-            dtype=np.uint32,
-        )[..., None]
-        inv = np.array(
-            [
-                [
-                    _mont(pow(roots_all[li][m + i], -1, p), p)
-                    for i in range(m)
-                ]
-                for li, p in enumerate(primes)
-            ],
-            dtype=np.uint32,
-        )[..., None]
-        fwd_stages.append(jnp.asarray(fwd))
-        inv_stages.append(jnp.asarray(inv))
-    n_inv = np.array(
-        [[_mont(pow(n, -1, p), p)] for p in primes], dtype=np.uint32
+        fwd_stages.append(pair(roots[:, m : 2 * m, None], 2))
+        inv_stages.append(pair(iroots[:, m : 2 * m, None], 2))
+    n_inv_np = np.array(
+        [[pow(n, -1, p)] for p in primes], dtype=np.uint32
     )
+
+    # Four-step matrix layout tables (n2 = 128 minor axis): stage s >= s1
+    # twiddle for transposed-view group (j2, r) is roots[m + r*m2 + j2].
+    n2 = 128 if n >= 256 else 0
+    fwd2: list = []
+    inv2: list = []
+    pk1_fwd = pk1_inv = pk2_fwd = pk2_inv = None
+    if n2:
+        n1 = n // n2
+        s1 = n1.bit_length() - 1
+        for s in range(s1, bits):
+            m = 1 << s
+            t = n >> (s + 1)
+            m2 = n2 // (2 * t)
+            # idx[j2, r] = m + r*m2 + j2
+            idx = (
+                m
+                + np.arange(n1)[None, :] * m2
+                + np.arange(m2)[:, None]
+            )
+            fwd2.append(pair(roots[:, idx][:, :, None, :], 3))
+            inv2.append(pair(iroots[:, idx][:, :, None, :], 3))
+        # Lane-expanded per-stage twiddle planes for the fused Pallas kernel.
+        pk1f = np.zeros((nl_, s1, n1 // 2, n2), dtype=np.uint32)
+        pk1i = np.zeros_like(pk1f)
+        for s in range(s1):
+            m = 1 << s
+            tr = n1 >> (s + 1)
+            g = np.repeat(np.arange(m), tr)  # row j = g*tr + jr -> group g
+            pk1f[:, s] = roots[:, m + g][:, :, None]
+            pk1i[:, s] = iroots[:, m + g][:, :, None]
+        s2n = bits - s1
+        pk2f = np.zeros((nl_, s2n, n2 // 2, n1), dtype=np.uint32)
+        pk2i = np.zeros_like(pk2f)
+        for s in range(s1, bits):
+            t = n >> (s + 1)
+            m2 = n2 // (2 * t)
+            m = 1 << s
+            j2 = np.repeat(np.arange(m2), t)  # row j = j2*t + jt
+            idx = m + np.arange(n1)[None, :] * m2 + j2[:, None]
+            pk2f[:, s - s1] = roots[:, idx]
+            pk2i[:, s - s1] = iroots[:, idx]
+        pk1_fwd = pair(pk1f, 3)
+        pk1_inv = pair(pk1i, 3)
+        pk2_fwd = pair(pk2f, 3)
+        pk2_inv = pair(pk2i, 3)
     consts = [modops.mont_consts(p) for p in primes]
     return NttPlan(
         n=n,
@@ -191,5 +398,12 @@ def make_plan(n: int, primes: Tuple[int, ...]) -> NttPlan:
         ),
         fwd_tw=tuple(fwd_stages),
         inv_tw=tuple(inv_stages),
-        n_inv_mont=jnp.asarray(n_inv),
+        n_inv=pair(n_inv_np, 1),
+        n2=n2,
+        fwd_tw2=tuple(fwd2),
+        inv_tw2=tuple(inv2),
+        pk1_fwd=pk1_fwd,
+        pk1_inv=pk1_inv,
+        pk2_fwd=pk2_fwd,
+        pk2_inv=pk2_inv,
     )
