@@ -26,7 +26,7 @@ import argparse
 import csv
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -48,6 +48,8 @@ class RunResult:
     ops_per_sec: float
     iterations: int
     error: str = ""
+    # getBenchmarkDescription/printContextInfo analogue (models/base.py)
+    description: Dict[str, str] = field(default_factory=dict)
 
 
 def _gen_inputs(
@@ -161,7 +163,9 @@ def run_benchmark(
                     break
         n_results = len(want)
         ops = n_results / (wall_ms / 1e3) if wall_ms > 0 else 0.0
-        return RunResult(name, passed, wall_ms, ops, iters)
+        return RunResult(
+            name, passed, wall_ms, ops, iters, description=bench.describe()
+        )
     except Exception as e:  # noqa: BLE001 — harness reports, not raises
         return RunResult(name, False, 0.0, 0.0, 0, error=f"{type(e).__name__}: {e}")
 
@@ -213,6 +217,14 @@ def run_all(
                     [r.name, int(r.passed), f"{r.wall_ms_operate:.4f}",
                      f"{r.ops_per_sec:.2f}", r.iterations, r.error]
                 )
+        with open(
+            os.path.join(report_dir, "descriptions.csv"), "w", newline=""
+        ) as f:
+            keys = sorted({k for r in results for k in r.description})
+            w = csv.writer(f)
+            w.writerow(["benchmark"] + keys)
+            for r in results:
+                w.writerow([r.name] + [r.description.get(k, "") for k in keys])
         with open(os.path.join(report_dir, "summary.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["total", "failed"])

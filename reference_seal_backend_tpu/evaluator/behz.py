@@ -15,10 +15,10 @@ over two prime bases:
 Base sizes: q has k ~31-bit primes; B has k+1 (so B ≫ q — the headroom the
 S-K conversion needs when aux primes cannot exceed 31 bits); Bsk = B ∪
 {m_sk}.  Form conventions: base-extension math runs on *normal-form*
-residues with constants stored in Montgomery form, so each step is one
-Montgomery multiply; ciphertexts enter/leave in the at-rest NTT Montgomery
-form.  mont_mul tolerates left operands up to 2^31 even when ≥ p, so
-cross-base digits are used unreduced.
+residues; every constant is stored as a Shoup pair (w, floor(w·2^32/p)) so
+each step is one shoup_mul (~half a Montgomery product).  shoup_mul is
+exact for any uint32 left operand, so cross-base digits are used
+unreduced; ciphertexts enter/leave in the at-rest NTT Montgomery form.
 
 Role-equivalent to the SEAL BFV ``Evaluator::multiply`` the reference
 calls in src/benchmarks/bfv/seal_bfv_element_wise_benchmark.cpp:289-348 —
@@ -43,12 +43,32 @@ _MTILDE = 1 << 16
 _HALF_MTILDE = np.uint32(1 << 15)
 
 
-def _mont(x: int, p: int) -> int:
-    return (x << 32) % p
+def _pair(vals, primes):
+    """Shoup pair columns [(w_i, floor(w_i·2^32/p_i))] as [k, 1] arrays."""
+    vals = list(vals)
+    primes = list(primes)
+    w = np.array([[v % p] for v, p in zip(vals, primes)], dtype=np.uint32)
+    s = np.array(
+        [[((v % p) << 32) // p] for v, p in zip(vals, primes)],
+        dtype=np.uint32,
+    )
+    return jnp.asarray(w), jnp.asarray(s)
 
 
-def _col(vals) -> jnp.ndarray:
-    return jnp.asarray(np.array([[v] for v in vals], dtype=np.uint32))
+def _pair2(rows, col_primes):
+    """Shoup pairs for a [rows, cols, 1] table; modulus varies per column."""
+    w = np.array(
+        [[v % p for v, p in zip(r, col_primes)] for r in rows],
+        dtype=np.uint32,
+    )
+    s = np.array(
+        [
+            [((v % p) << 32) // p for v, p in zip(r, col_primes)]
+            for r in rows
+        ],
+        dtype=np.uint32,
+    )
+    return jnp.asarray(w)[..., None], jnp.asarray(s)[..., None]
 
 
 class BehzTables:
@@ -71,68 +91,68 @@ class BehzTables:
         qh_inv = [pow(qh[i] % q_primes[i], -1, q_primes[i]) for i in range(k)]
 
         # step 1: y_i = x_i * (m_tilde * q̂_i^{-1}) mod q_i
-        self.mtilde_qhinv = _col(
-            _mont(_MTILDE * qh_inv[i] % q_primes[i], q_primes[i])
-            for i in range(k)
+        self.mtilde_qhinv = _pair(
+            (_MTILDE * qh_inv[i] for i in range(k)), q_primes
         )
-        self.plain_qhinv = _col(
-            _mont(qh_inv[i], q_primes[i]) for i in range(k)
+        self.plain_qhinv = _pair(qh_inv, q_primes)
+        # q̂_i mod p_j for p_j in Bsk: [k, kb, 1] Shoup pairs
+        self.qh_mod_bsk = _pair2(
+            [[qh[i] for _ in bsk] for i in range(k)], bsk
         )
-        # q̂_i mod p_j for p_j in Bsk: [k, kb, 1] Montgomery consts
-        self.qh_mod_bsk = jnp.asarray(
-            np.array(
-                [[_mont(qh[i] % pj, pj) for pj in bsk] for i in range(k)],
-                dtype=np.uint32,
-            )
-        )[..., None]
-        self.qh_mod_mtilde = _col(qh[i] % _MTILDE for i in range(k))
+        self.qh_mod_mtilde = jnp.asarray(
+            np.array([[qh[i] % _MTILDE] for i in range(k)], dtype=np.uint32)
+        )
         self.neg_qinv_mtilde = np.uint32(
             (-pow(q % _MTILDE, -1, _MTILDE)) % _MTILDE
         )
         # step 2 constants per Bsk prime
-        self.mtilde_inv_bsk = _col(
-            _mont(pow(_MTILDE, -1, pj), pj) for pj in bsk
+        self.mtilde_inv_bsk = _pair(
+            (pow(_MTILDE, -1, pj) for pj in bsk), bsk
         )
-        self.q_mtilde_inv_bsk = _col(
-            _mont(q * pow(_MTILDE, -1, pj) % pj, pj) for pj in bsk
+        self.q_mtilde_inv_bsk = _pair(
+            (q * pow(_MTILDE, -1, pj) % pj for pj in bsk), bsk
         )
-        self.q_mod_bsk = _col(q % pj for pj in bsk)
+        self.q_mod_bsk = jnp.asarray(
+            np.array([[q % pj] for pj in bsk], dtype=np.uint32)
+        )
         # step 4: ×t then floor-divide by q in Bsk
-        self.t_mod_q = _col(_mont(t % qi, qi) for qi in q_primes)
-        self.t_mod_bsk = _col(_mont(t % pj, pj) for pj in bsk)
-        self.qinv_bsk = _col(
-            _mont(pow(q % pj, -1, pj), pj) for pj in bsk
-        )
+        self.t_mod_q = _pair((t for _ in q_primes), q_primes)
+        self.t_mod_bsk = _pair((t for _ in bsk), bsk)
+        self.qinv_bsk = _pair((pow(q % pj, -1, pj) for pj in bsk), bsk)
         # step 5 (Shenoy-Kumaresan, base B -> q via m_sk)
         ka = len(aux)
         Bh = [B // bi for bi in aux]
-        self.Bh_inv = _col(
-            _mont(pow(Bh[i] % aux[i], -1, aux[i]), aux[i]) for i in range(ka)
+        self.Bh_inv = _pair(
+            (pow(Bh[i] % aux[i], -1, aux[i]) for i in range(ka)), aux
         )
-        self.Bh_mod_msk = _col(_mont(Bh[i] % m_sk, m_sk) for i in range(ka))
-        self.Bh_mod_q = jnp.asarray(
+        self.Bh_mod_msk = _pair(
+            (Bh[i] for i in range(ka)), (m_sk,) * ka
+        )
+        self.Bh_mod_q = _pair2(
+            [[Bh[i] for _ in q_primes] for i in range(ka)], q_primes
+        )
+        binv = pow(B % m_sk, -1, m_sk)
+        self.Binv_msk = (
+            np.uint32(binv),
+            np.uint32((binv << 32) // m_sk),
+        )
+        self.B_mod_q = _pair((B for _ in q_primes), q_primes)
+        self.msk_B_mod_q = jnp.asarray(
             np.array(
-                [[_mont(Bh[i] % qj, qj) for qj in q_primes]
-                 for i in range(ka)],
+                [[(m_sk % qj) * (B % qj) % qj] for qj in q_primes],
                 dtype=np.uint32,
             )
-        )[..., None]
-        self.Binv_msk = np.uint32(_mont(pow(B % m_sk, -1, m_sk), m_sk))
-        self.B_mod_q = _col(_mont(B % qj, qj) for qj in q_primes)
-        self.msk_B_mod_q = _col(
-            (m_sk % qj) * (B % qj) % qj for qj in q_primes
         )
         self.half_msk = np.uint32(m_sk // 2)
 
         self.q_p = ctx.p[:k]
         self.q_pni = ctx.p_neg_inv[:k]
         self.q_mu = ctx.mu[:k]
-        self.q_r2 = ctx.r2[:k]
+        # R mod p pairs: enter Montgomery form with one shoup_mul
+        self.q_r1 = _pair(((1 << 32) for _ in q_primes), q_primes)
         self.bsk_p = ctx.bsk_plan.p
         self.bsk_pni = ctx.bsk_plan.p_neg_inv
-        self.bsk_r2 = _col(
-            modops.mont_consts(p)["r2"] for p in bsk
-        )
+        self.bsk_r1 = _pair(((1 << 32) for _ in bsk), bsk)
 
 
 @functools.lru_cache(maxsize=None)
@@ -162,10 +182,10 @@ def _mod_sum_axis(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
 def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     """x (normal coeff, [..., k, N] over q) -> x in Bsk, exactly (the
     m_tilde Montgomery reduction cancels the conversion overflow)."""
-    y = modops.mont_mul(x_q, tb.mtilde_qhinv, tb.q_p, tb.q_pni)
+    y = modops.shoup_mul(x_q, *tb.mtilde_qhinv, tb.q_p)
     # x*_j = Σ_i y_i · (q̂_i mod p_j), p_j ∈ Bsk
-    terms = modops.mont_mul(
-        y[..., :, None, :], tb.qh_mod_bsk, tb.bsk_p, tb.bsk_pni
+    terms = modops.shoup_mul(
+        y[..., :, None, :], *tb.qh_mod_bsk, tb.bsk_p
     )  # [..., k, kb, N]
     xs = _mod_sum_axis(terms, tb.bsk_p, axis=-3)
     # x*_mtilde = Σ_i y_i · (q̂_i mod 2^16)  (wraparound keeps low 16 bits)
@@ -174,8 +194,8 @@ def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     flag = (r > _HALF_MTILDE).astype(jnp.uint32)[..., None, :]
     r = r[..., None, :]
     out = modops.mod_add(
-        modops.mont_mul(xs, tb.mtilde_inv_bsk, tb.bsk_p, tb.bsk_pni),
-        modops.mont_mul(r, tb.q_mtilde_inv_bsk, tb.bsk_p, tb.bsk_pni),
+        modops.shoup_mul(xs, *tb.mtilde_inv_bsk, tb.bsk_p),
+        modops.shoup_mul(r, *tb.q_mtilde_inv_bsk, tb.bsk_p),
         tb.bsk_p,
     )
     return modops.mod_sub(out, flag * tb.q_mod_bsk, tb.bsk_p)
@@ -184,9 +204,9 @@ def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
 def _fbc_q_to_bsk(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     """Plain fast base conversion q -> Bsk (may carry +αq, α < k, absorbed
     as noise by the surrounding floor)."""
-    y = modops.mont_mul(x_q, tb.plain_qhinv, tb.q_p, tb.q_pni)
-    terms = modops.mont_mul(
-        y[..., :, None, :], tb.qh_mod_bsk, tb.bsk_p, tb.bsk_pni
+    y = modops.shoup_mul(x_q, *tb.plain_qhinv, tb.q_p)
+    terms = modops.shoup_mul(
+        y[..., :, None, :], *tb.qh_mod_bsk, tb.bsk_p
     )
     return _mod_sum_axis(terms, tb.bsk_p, axis=-3)
 
@@ -199,26 +219,24 @@ def _sk_to_q(tb: BehzTables, y_bsk: jnp.ndarray) -> jnp.ndarray:
     y_msk = y_bsk[..., ka:, :]
     msk_p = tb.bsk_p[ka:]
     msk_pni = tb.bsk_pni[ka:]
-    yp = modops.mont_mul(y_B, tb.Bh_inv, tb.bsk_p[:ka], tb.bsk_pni[:ka])
+    yp = modops.shoup_mul(y_B, *tb.Bh_inv, tb.bsk_p[:ka])
     # α = (Σ_i y'_i·B̂_i - y) / B  recovered mod m_sk, centered
-    terms_msk = modops.mont_mul(yp, tb.Bh_mod_msk, msk_p, msk_pni)
+    terms_msk = modops.shoup_mul(yp, *tb.Bh_mod_msk, msk_p)
     conv_msk = _mod_sum_axis(terms_msk[..., :, None, :], msk_p, axis=-3)
-    alpha = modops.mont_mul(
+    alpha = modops.shoup_mul(
         modops.mod_sub(conv_msk, y_msk, msk_p),
-        tb.Binv_msk,
+        *tb.Binv_msk,
         msk_p,
-        msk_pni,
     )  # [..., 1, N] in [0, m_sk)
     flag = (alpha > tb.half_msk).astype(jnp.uint32)
-    terms_q = modops.mont_mul(
-        yp[..., :, None, :], tb.Bh_mod_q, tb.q_p, tb.q_pni
+    terms_q = modops.shoup_mul(
+        yp[..., :, None, :], *tb.Bh_mod_q, tb.q_p
     )  # [..., ka, k, N]
     s = _mod_sum_axis(terms_q, tb.q_p, axis=-3)
-    alpha_term = modops.mont_mul(
+    alpha_term = modops.shoup_mul(
         modops.barrett_reduce_u32(alpha, tb.q_p, tb.q_mu),
-        tb.B_mod_q,
+        *tb.B_mod_q,
         tb.q_p,
-        tb.q_pni,
     )
     out = modops.mod_sub(s, alpha_term, tb.q_p)
     return modops.mod_add(out, flag * tb.msk_B_mod_q, tb.q_p)
@@ -256,7 +274,7 @@ def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
     prod_q = plan.inv(
         _tensor(
-            plan.fwd(modops.to_mont(a_q, tb.q_p, tb.q_pni, tb.q_r2), lo=0),
+            plan.fwd(modops.shoup_mul(a_q, *tb.q_r1, tb.q_p), lo=0),
             plan.fwd(b_q, lo=0),
             tb.q_p,
             tb.q_pni,
@@ -266,7 +284,7 @@ def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     prod_bsk = bsk_plan.inv(
         _tensor(
             bsk_plan.fwd(
-                modops.to_mont(a_bsk, tb.bsk_p, tb.bsk_pni, tb.bsk_r2), lo=0
+                modops.shoup_mul(a_bsk, *tb.bsk_r1, tb.bsk_p), lo=0
             ),
             bsk_plan.fwd(b_bsk, lo=0),
             tb.bsk_p,
@@ -276,16 +294,15 @@ def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     )  # [..., 3, kb, N]
 
     # scale by t, floor-divide by q (in Bsk), convert exactly back to q
-    tc_q = modops.mont_mul(prod_q, tb.t_mod_q, tb.q_p, tb.q_pni)
-    tc_bsk = modops.mont_mul(prod_bsk, tb.t_mod_bsk, tb.bsk_p, tb.bsk_pni)
-    y_bsk = modops.mont_mul(
+    tc_q = modops.shoup_mul(prod_q, *tb.t_mod_q, tb.q_p)
+    tc_bsk = modops.shoup_mul(prod_bsk, *tb.t_mod_bsk, tb.bsk_p)
+    y_bsk = modops.shoup_mul(
         modops.mod_sub(tc_bsk, _fbc_q_to_bsk(tb, tc_q), tb.bsk_p),
-        tb.qinv_bsk,
+        *tb.qinv_bsk,
         tb.bsk_p,
-        tb.bsk_pni,
     )
     out_q = _sk_to_q(tb, y_bsk)
     out_ntt = plan.fwd(
-        modops.to_mont(out_q, tb.q_p, tb.q_pni, tb.q_r2), lo=0
+        modops.shoup_mul(out_q, *tb.q_r1, tb.q_p), lo=0
     )
     return Ciphertext(data=out_ntt, level=k, scale=1.0, is_ntt=True)

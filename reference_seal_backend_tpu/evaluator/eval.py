@@ -89,11 +89,11 @@ class Evaluator:
         pt_data = pt.data
         if self.ctx.scheme == "bfv":
             # BFV plaintexts are mod-t unscaled; scale by Δ for addition.
-            pt_data = modops.mont_mul(
+            pt_data = modops.shoup_mul(
                 pt_data,
-                self.ctx.delta_mont[: a.level],
+                self.ctx.delta_plain[: a.level],
+                self.ctx.delta_shoup[: a.level],
                 p,
-                self.ctx.p_neg_inv[: a.level],
             )
         c0 = modops.mod_add(a.data[..., 0, :, :], pt_data, p)
         data = jnp.concatenate(
@@ -105,11 +105,11 @@ class Evaluator:
         p = self.ctx.p[: a.level]
         pt_data = pt.data
         if self.ctx.scheme == "bfv":
-            pt_data = modops.mont_mul(
+            pt_data = modops.shoup_mul(
                 pt_data,
-                self.ctx.delta_mont[: a.level],
+                self.ctx.delta_plain[: a.level],
+                self.ctx.delta_shoup[: a.level],
                 p,
-                self.ctx.p_neg_inv[: a.level],
             )
         c0 = modops.mod_sub(a.data[..., 0, :, :], pt_data, p)
         data = jnp.concatenate(
@@ -188,12 +188,14 @@ class Evaluator:
         data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
         sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=sp)
         dig = jnp.concatenate([data_part, sp_part], axis=-2)
-        # 4) inner product with the switch key (double-Montgomery) and
-        #    accumulate over source digits.
-        b_sel = jnp.concatenate([key.b[:l, :l], key.b[:l, sp : sp + 1]], axis=1)
-        a_sel = jnp.concatenate([key.a[:l, :l], key.a[:l, sp : sp + 1]], axis=1)
-        tb = modops.mont_mul(dig, b_sel, p_t, pni_t)
-        ta = modops.mont_mul(dig, a_sel, p_t, pni_t)
+        # 4) inner product with the switch key (Shoup constants: the keys
+        #    are per-context constants, normal·Mont lands in Montgomery
+        #    form) and accumulate over source digits.
+        cat2 = lambda k: jnp.concatenate(
+            [k[:l, :l], k[:l, sp : sp + 1]], axis=1
+        )
+        tb = modops.shoup_mul(dig, cat2(key.b), cat2(key.bs), p_t)
+        ta = modops.shoup_mul(dig, cat2(key.a), cat2(key.as_), p_t)
         acc_b = _mod_sum(tb, p_t, axis=-3)
         acc_a = _mod_sum(ta, p_t, axis=-3)
         # 5) divide-and-round by the special modulus.
@@ -217,12 +219,20 @@ class Evaluator:
             ctx.p[:l],
         )  # centered lift, [..., l, N] normal form
         w_ntt = ctx.plan.fwd(w, lo=0)
-        inv1 = ctx.div_inv_mont[sp, :l][:, None]
-        inv2 = ctx.div_inv_mont2[sp, :l][:, None]
-        p, pni = ctx.consts(0, l)
+        p = ctx.p[:l]
+        sel = lambda t: t[sp, :l][:, None]
         return modops.mod_sub(
-            modops.mont_mul(x[..., :l, :], inv1, p, pni),
-            modops.mont_mul(w_ntt, inv2, p, pni),
+            # x is Montgomery form: multiply by plain P^{-1}
+            modops.shoup_mul(
+                x[..., :l, :], sel(ctx.div_inv), sel(ctx.div_inv_shoup), p
+            ),
+            # w is normal form: multiply by P^{-1}·R to land in Montgomery
+            modops.shoup_mul(
+                w_ntt,
+                sel(ctx.div_inv_mont),
+                sel(ctx.div_inv_mont_shoup),
+                p,
+            ),
             p,
         )
 
@@ -257,12 +267,21 @@ class Evaluator:
             ctx.p[:drop],
         )
         w_ntt = ctx.plan.fwd(w, lo=0)
-        inv1 = ctx.div_inv_mont[drop, :drop][:, None]
-        inv2 = ctx.div_inv_mont2[drop, :drop][:, None]
-        p, pni = ctx.consts(0, drop)
+        p = ctx.p[:drop]
+        sel = lambda t: t[drop, :drop][:, None]
         return modops.mod_sub(
-            modops.mont_mul(data[..., :drop, :], inv1, p, pni),
-            modops.mont_mul(w_ntt, inv2, p, pni),
+            modops.shoup_mul(
+                data[..., :drop, :],
+                sel(ctx.div_inv),
+                sel(ctx.div_inv_shoup),
+                p,
+            ),
+            modops.shoup_mul(
+                w_ntt,
+                sel(ctx.div_inv_mont),
+                sel(ctx.div_inv_mont_shoup),
+                p,
+            ),
             p,
         )
 

@@ -71,16 +71,23 @@ class HEBenchmark(abc.ABC):
             p.update(params)
         self.params = p
         self.category = descriptor.category
+        # Flexible workload params mirror the reference's appended named
+        # params (PolyModulusDegree, MultiplicativeDepth, ScaleBits |
+        # PlainModulusBits — src/benchmarks/ckks/
+        # seal_ckks_element_wise_benchmark.cpp:58-65).  NumThreads has no
+        # analogue: batching is a jitted axis, not a thread pool.
         if descriptor.scheme is Scheme.CKKS:
             self.ctx = make_ckks_context(
                 poly_modulus_degree=p["poly_modulus_degree"],
                 mult_depth=p["mult_depth"],
+                scale_bits=p.get("scale_bits", 52),
             )
             self.encoder = ckks_mod.CkksEncoder(self.ctx)
         else:
             self.ctx = make_bfv_context(
                 poly_modulus_degree=p["poly_modulus_degree"],
                 mult_depth=p["mult_depth"],
+                plain_modulus_bits=p.get("plain_modulus_bits", 20),
                 n_data_primes=p.get("n_data_primes", 4),
             )
             self.encoder = bfv_mod.BfvBatchEncoder(self.ctx)
@@ -156,6 +163,34 @@ class HEBenchmark(abc.ABC):
         """-> cleartext result arrays."""
 
     # -- helpers ---------------------------------------------------------- #
+
+    def describe(self) -> Dict[str, str]:
+        """Report fragments: the analogue of the reference's
+        ``getBenchmarkDescription`` CSV text (encryption params, algorithm
+        variant — src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:84-115)
+        plus ``printContextInfo``'s modulus-chain dump
+        (src/engine/seal_context.cpp:187-253)."""
+        ctx = self.ctx
+        chain = [q.bit_length() for q in ctx.data_primes]
+        desc = {
+            "scheme": self.descriptor.scheme.name,
+            "workload": self.descriptor.workload.name,
+            "category": self.descriptor.category.name,
+            "algorithm_variant": f"0x{self.descriptor.other:02x}",
+            "poly_modulus_degree": str(ctx.n),
+            "slots": str(ctx.slots),
+            "coeff_modulus_chain_bits": "|".join(map(str, chain)),
+            "special_modulus_bits": str(ctx.special_prime.bit_length()),
+            "total_coeff_modulus_bits": str(
+                sum(chain) + ctx.special_prime.bit_length()
+            ),
+            "security": "128 bits",
+        }
+        if self.descriptor.scheme is Scheme.CKKS:
+            desc["scale_bits"] = str(self.params.get("scale_bits", 52))
+        else:
+            desc["plain_modulus"] = str(ctx.t)
+        return desc
 
     def block(self, handle: Handle) -> Handle:
         """Block until device work in the handle's arrays has finished

@@ -98,7 +98,9 @@ class BfvEncryptor:
         e0 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
         e1 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
         p, pni = ctx.consts(0, L)
-        dm = modops.mont_mul(pt.data, ctx.delta_mont, p, pni)
+        dm = modops.shoup_mul(
+            pt.data, ctx.delta_plain, ctx.delta_shoup, p
+        )
         c0 = modops.mod_add(
             modops.mod_add(
                 modops.mont_mul(pk.b[:L], u, p, pni), e0, p

@@ -16,10 +16,11 @@ per-limb digits d_i = [d]_{q_i}, lifts each digit across the basis, and
 accumulates Σ_i d_i·ksk_i; the mod-down by P then removes the noise scaled
 into P (evaluator/eval.py).
 
-Key polynomials are stored with an extra factor R (i.e. value·R² pattern,
-"double-Montgomery") so that the inner products against *normal-form*
-lifted digits land directly back in Montgomery form with a single
-Montgomery multiply per term.
+Key polynomials are stored in Montgomery form together with host-computed
+Shoup companions (floor(w·2**32/p)): the key-switch inner product against
+*normal-form* lifted digits is then one Shoup multiply per term
+(normal·(val·R) = Montgomery form of the product), about half the VPU ops
+of the Montgomery product it replaces.
 
 Sampling: secret and encryption randomness are uniform-ternary, errors are
 centered-binomial-like rounded Gaussians (σ=3.2, ±6σ clamp), sampled host
@@ -45,26 +46,49 @@ from reference_seal_backend_tpu.schemes.params import Context
 SIGMA = 3.2
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["b", "a"],
+    meta_fields=[],
+)
 @dataclass(frozen=True)
 class PublicKey:
     b: jnp.ndarray  # [L_data, N] NTT Montgomery
     a: jnp.ndarray
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["b", "a", "bs", "as_"],
+    meta_fields=[],
+)
 @dataclass(frozen=True)
 class SwitchKey:
     """Per-source-limb switch key over the full basis.
 
     b, a: ``[n_src, n_full, N]`` where n_full = L_data + 1 (special last),
-    stored in double-Montgomery form (see module docstring).
+    stored in **Montgomery form**, with Shoup companions bs, as_
+    (``floor(w·2**32/p)``) so the key-switch inner product against
+    normal-form lifted digits is one Shoup multiply per term
+    (normal·Mont = Montgomery-form product; see modops.shoup_mul).
     """
 
     b: jnp.ndarray
     a: jnp.ndarray
+    bs: jnp.ndarray
+    as_: jnp.ndarray
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["secret_ntt", "public", "relin", "galois"],
+    meta_fields=[],
+)
 @dataclass(frozen=True)
 class KeySet:
+    """Registered as a pytree so mesh replication / jit argument passing
+    see through to the key arrays (parallel/mesh.py replicate)."""
+
     secret_ntt: jnp.ndarray  # [L_data + 1, N] NTT Montgomery, full basis
     public: PublicKey
     relin: SwitchKey | None
@@ -96,13 +120,6 @@ def _uniform_ntt(
         for p in ctx.primes[:n_rows]
     ]
     return jnp.asarray(np.stack(cols))
-
-
-def _double_mont(ctx: Context, x: jnp.ndarray, n_rows: int) -> jnp.ndarray:
-    """Multiply Montgomery-form rows by R (store value·R²·R^{-1}·R...)."""
-    return modops.to_mont(
-        x, ctx.p[:n_rows], ctx.p_neg_inv[:n_rows], ctx.r2[:n_rows]
-    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -160,12 +177,7 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
         b = b.at[:, idx, idx].set(
             modops.mod_add(b[:, idx, idx], terms, p_d)
         )
-        return (
-            s_ntt,
-            b_pk,
-            _double_mont(ctx, b, nf),
-            _double_mont(ctx, a_sk, nf),
-        )
+        return s_ntt, b_pk, b, a_sk
 
     return jax.jit(impl)
 
@@ -230,14 +242,22 @@ def keygen(
         jnp.asarray(e_sk_res),
     )
 
+    # Host-side Shoup companions for the constant key polys (one-time).
+    if n_sk:
+        p64 = np.array(ctx.primes, dtype=np.uint64)[:, None]
+        b_np = np.asarray(b_sk)
+        a_np = np.asarray(a_sk_out)
+        bs = jnp.asarray(((b_np.astype(np.uint64) << 32) // p64).astype(np.uint32))
+        as_ = jnp.asarray(((a_np.astype(np.uint64) << 32) // p64).astype(np.uint32))
+
     relin = None
     k = 0
     if need_relin:
-        relin = SwitchKey(b=b_sk[0], a=a_sk_out[0])
+        relin = SwitchKey(b=b_sk[0], a=a_sk_out[0], bs=bs[0], as_=as_[0])
         k = 1
     galois: Dict[int, SwitchKey] = {}
     for g in elts:
-        galois[g] = SwitchKey(b=b_sk[k], a=a_sk_out[k])
+        galois[g] = SwitchKey(b=b_sk[k], a=a_sk_out[k], bs=bs[k], as_=as_[k])
         k += 1
 
     return KeySet(

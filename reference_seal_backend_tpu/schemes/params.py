@@ -101,25 +101,34 @@ class Context:
         self.r1 = jnp.asarray(_stack_consts(P, "r1"))
 
         # Cross-limb divisor tables for divide-and-round (rescale, key-switch
-        # mod-down, BFV mod-switch).  For divisor prime d and target j:
-        #   div_inv_mont[d, j]  = (P_d^{-1} mod q_j) * R   mod q_j
-        #   div_inv_mont2[d, j] = (P_d^{-1} mod q_j) * R^2 mod q_j
-        #   div_mod[d, j]       =  P_d mod q_j   (for centered-lift fixup)
-        #   div_half[d]         =  P_d // 2      (centering threshold)
+        # mod-down, BFV mod-switch), as Shoup pairs (modops.shoup_mul):
+        #   div_mod[d, j]      = P_d mod q_j   (for centered-lift fixup)
+        #   div_half[d]        = P_d // 2      (centering threshold)
+        #   div_inv[d, j]      = P_d^{-1} mod q_j            (plain — for
+        #                        multiplying Montgomery-form data)
+        #   div_inv_mont[d, j] = (P_d^{-1} mod q_j)·R mod q_j (for lifting
+        #                        normal-form w into Montgomery form)
+        # with *_shoup the floor(w·2^32/p) companions.
         R = 1 << 32
+        inv0 = np.zeros((nf, nf), dtype=np.uint32)
         inv1 = np.zeros((nf, nf), dtype=np.uint32)
-        inv2 = np.zeros((nf, nf), dtype=np.uint32)
+        inv0_s = np.zeros((nf, nf), dtype=np.uint32)
+        inv1_s = np.zeros((nf, nf), dtype=np.uint32)
         dmod = np.zeros((nf, nf), dtype=np.uint32)
         for d, pd in enumerate(P):
             for j, pj in enumerate(P):
                 if d == j:
                     continue
                 iv = pow(pd, -1, pj)
+                inv0[d, j] = iv
                 inv1[d, j] = iv * R % pj
-                inv2[d, j] = iv * R * R % pj
+                inv0_s[d, j] = (iv << 32) // pj
+                inv1_s[d, j] = ((iv * R % pj) << 32) // pj
                 dmod[d, j] = pd % pj
+        self.div_inv = jnp.asarray(inv0)
+        self.div_inv_shoup = jnp.asarray(inv0_s)
         self.div_inv_mont = jnp.asarray(inv1)
-        self.div_inv_mont2 = jnp.asarray(inv2)
+        self.div_inv_mont_shoup = jnp.asarray(inv1_s)
         self.div_mod = jnp.asarray(dmod)
         self.div_half = jnp.asarray(
             np.array([p // 2 for p in P], dtype=np.uint32)
@@ -194,10 +203,13 @@ class BfvContext(Context):
         q = self.q_at_level(self.L)
         self.q = q
         self.delta = q // t  # floor(q/t), the plaintext scaling factor
-        # Delta mod q_j in Montgomery form, [L, 1] — scales encoded m.
-        self.delta_mont = jnp.asarray(
+        # Delta mod q_j as a Shoup pair, [L, 1] — scales encoded m.
+        self.delta_plain = jnp.asarray(
+            np.array([[self.delta % p] for p in data], dtype=np.uint32)
+        )
+        self.delta_shoup = jnp.asarray(
             np.array(
-                [[(self.delta % p) * (1 << 32) % p] for p in data],
+                [[((self.delta % p) << 32) // p] for p in data],
                 dtype=np.uint32,
             )
         )
