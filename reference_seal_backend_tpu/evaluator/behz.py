@@ -243,16 +243,18 @@ def _sk_to_q(tb: BehzTables, y_bsk: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tensor(x, y, p, pni):
-    """(x0,x1)⊗(y0,y1) dyadic; x Montgomery, y normal -> products normal."""
+    """(x0,x1)⊗(y0,y1) dyadic; x Montgomery, y normal -> products normal.
+
+    Karatsuba form: 3 Montgomery products instead of 4 (see
+    evaluator/eval.py multiply)."""
     x0, x1 = x[..., 0, :, :], x[..., 1, :, :]
     y0, y1 = y[..., 0, :, :], y[..., 1, :, :]
     c0 = modops.mont_mul(x0, y0, p, pni)
     c2 = modops.mont_mul(x1, y1, p, pni)
-    c1 = modops.mod_add(
-        modops.mont_mul(x0, y1, p, pni),
-        modops.mont_mul(x1, y0, p, pni),
-        p,
+    z = modops.mont_mul(
+        modops.mod_add(x0, x1, p), modops.mod_add(y0, y1, p), p, pni
     )
+    c1 = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
     return jnp.stack([c0, c1, c2], axis=-3)
 
 

@@ -142,13 +142,16 @@ class Evaluator:
         p, pni = self.ctx.consts(0, l)
         a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
         b0, b1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+        # Karatsuba: 3 Montgomery products instead of 4 — the cross term is
+        # (a0+a1)(b0+b1) - c0 - c2.  Modular adds/subs cost ~4 VPU ops vs
+        # ~25 for a Montgomery product, so this is a straight ~17% saving
+        # on the framework's headline op (bench.py).
         c0 = modops.mont_mul(a0, b0, p, pni)
         c2 = modops.mont_mul(a1, b1, p, pni)
-        cross = modops.mod_add(
-            modops.mont_mul(a0, b1, p, pni),
-            modops.mont_mul(a1, b0, p, pni),
-            p,
+        z = modops.mont_mul(
+            modops.mod_add(a0, a1, p), modops.mod_add(b0, b1, p), p, pni
         )
+        cross = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
         data = jnp.stack([c0, cross, c2], axis=-3)
         return replace(a, data=data, scale=a.scale * b.scale)
 
