@@ -13,6 +13,13 @@
 
 #include <stdint.h>
 
+/* Backend API version (the analogue of the reference's generated
+ * seal_version.h + the createEngine compatibility gate,
+ * /root/reference src/engine/seal_engine.cpp:41-54). */
+#define RSBTPU_API_VERSION_MAJOR 1
+#define RSBTPU_API_VERSION_MINOR 0
+#define RSBTPU_API_VERSION_REVISION 0
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -21,6 +28,11 @@ extern "C" {
  * rsbtpu_initialize is idempotent; returns 0 on success. */
 int rsbtpu_initialize(void);
 void rsbtpu_finalize(void);
+
+/* Version handshake: returns 0 when the caller-required version is
+ * compatible (major/minor exact match, library revision >= required —
+ * same rule as the reference's createEngine gate), < 0 otherwise. */
+int rsbtpu_api_version_check(int major, int minor, int revision);
 
 /* Engine lifecycle. Returns engine id > 0, or < 0 on error. */
 int64_t rsbtpu_engine_create(void);

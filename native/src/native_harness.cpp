@@ -158,6 +158,12 @@ int main(int argc, char **argv) {
     benches = {"ckks_eltwise_add_latency", "ckks_eltwise_mult_latency",
                "ckks_dot_product_latency"};
 
+  if (rsbtpu_api_version_check(RSBTPU_API_VERSION_MAJOR,
+                               RSBTPU_API_VERSION_MINOR,
+                               RSBTPU_API_VERSION_REVISION) != 0) {
+    fprintf(stderr, "[ Error  ] backend API version incompatible\n");
+    return 2;
+  }
   if (rsbtpu_initialize() != 0) {
     print_error("initialize");
     return 2;

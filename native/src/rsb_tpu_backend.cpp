@@ -155,6 +155,13 @@ void rsbtpu_finalize(void) {
   // survive re-initialization, and the process is about to exit anyway.
 }
 
+int rsbtpu_api_version_check(int major, int minor, int revision) {
+  if (major != RSBTPU_API_VERSION_MAJOR) return -1;
+  if (minor != RSBTPU_API_VERSION_MINOR) return -2;
+  if (RSBTPU_API_VERSION_REVISION < revision) return -3;
+  return 0;
+}
+
 int64_t rsbtpu_engine_create(void) {
   return call_i64("engine_create", nullptr);
 }

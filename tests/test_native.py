@@ -103,3 +103,15 @@ def test_registry_in_process(built):
         names.add(buf.value.decode())
     assert "ckks_logistic_regression_poly_d3_latency" in names
     assert len(names) == 20
+
+
+def test_api_version_check(built):
+    """Version gate semantics: major/minor exact, revision >= required
+    (the reference createEngine rule, src/engine/seal_engine.cpp:41-54)."""
+    lib = ctypes.CDLL(LIB)
+    lib.rsbtpu_api_version_check.restype = ctypes.c_int
+    lib.rsbtpu_api_version_check.argtypes = [ctypes.c_int] * 3
+    assert lib.rsbtpu_api_version_check(1, 0, 0) == 0
+    assert lib.rsbtpu_api_version_check(2, 0, 0) < 0   # major mismatch
+    assert lib.rsbtpu_api_version_check(1, 1, 0) < 0   # minor mismatch
+    assert lib.rsbtpu_api_version_check(1, 0, 99) < 0  # need newer revision
