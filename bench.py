@@ -66,6 +66,21 @@ def main() -> None:
     out = mult(a, b)
     jax.block_until_ready(out.data)  # compile + warmup
 
+    # Correctness gate before timing: a silently-wrong kernel must never
+    # record a score.  Decrypt one product (3-component, pre-relin) and
+    # compare against the cleartext slotwise product.
+    decryptor = ckks.CkksDecryptor(ctx, ks)
+    got = np.real(
+        decryptor.decrypt(replace(out, data=out.data[0]))
+    )
+    want = np.real(
+        np.asarray(decryptor.decrypt(cts[0]))
+        * np.asarray(decryptor.decrypt(cts[1]))
+    )
+    err = float(np.max(np.abs(got - want)))
+    if not err < 5e-5:  # the reference's CKKS decode epsilon
+        raise SystemExit(f"bench correctness gate failed: max err {err}")
+
     iters = 0
     t0 = time.perf_counter()
     while True:

@@ -183,7 +183,7 @@ class Evaluator:
         d_coeff = ctx.plan.inv(d, lo=0)
         d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
         # 2) lift each source digit onto all targets (live ∪ special).
-        p_t, pni_t, mu_t = self._switch_targets(l)
+        p_t, _, mu_t = self._switch_targets(l)
         lifted = modops.barrett_reduce_u32(
             d_norm[..., :, None, :], p_t, mu_t
         )  # [..., l_src, l+1, N]
