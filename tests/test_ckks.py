@@ -180,3 +180,16 @@ def test_batched_ops(setup):
             np.roll(vs[i] * vs[i], -1),
             atol=EPS,
         )
+
+
+def test_sub_plain_and_square(setup):
+    ctx, ks, enc, encryptor, dec, ev = setup
+    va = _vals(ctx)
+    vb = _vals(ctx)
+    ca = encryptor.encrypt_pt(enc.encode(va))
+    pb = enc.encode(vb)
+    np.testing.assert_allclose(
+        dec.decrypt(ev.sub_plain(ca, pb)).real, va - vb, atol=EPS
+    )
+    sq = ev.rescale_to_next(ev.relinearize(ev.square(ca)))
+    np.testing.assert_allclose(dec.decrypt(sq).real, va * va, atol=1e-4)
