@@ -126,3 +126,31 @@ def test_primegen_properties():
         w = primegen.root_of_unity(two_n, p)
         assert pow(w, two_n, p) == 1
         assert pow(w, two_n // 2, p) == p - 1
+
+
+@pytest.mark.parametrize("p", PRIMES)
+def test_shoup_mul_exact_full_uint32_range(p):
+    """shoup_mul must be exact for ANY uint32 x (not just x < p) — the
+    key-switch and BEHZ paths feed it unreduced cross-base digits."""
+    # adversarial x: full range, extremes, and multiples near wrap
+    x = np.concatenate(
+        [
+            _rand(2**32 - 1, 2048),
+            np.array(
+                [0, 1, p - 1, p, 2 * p - 1, 2**31, 2**32 - 1],
+                dtype=np.uint32,
+            ),
+        ]
+    )
+    for w in [0, 1, p - 1, int(_rand(p, 1)[0]), int(_rand(p, 1)[0])]:
+        ws = np.uint32((w << 32) // p)
+        got = np.asarray(
+            modops.shoup_mul(
+                jnp.asarray(x),
+                jnp.uint32(w),
+                jnp.asarray(ws),
+                jnp.uint32(p),
+            )
+        )
+        want = (x.astype(object) * w % p).astype(np.uint32)
+        np.testing.assert_array_equal(got, want)
