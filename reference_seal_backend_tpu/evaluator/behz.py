@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.ops import ntt as ntt_mod
 from reference_seal_backend_tpu.schemes.core import Ciphertext
 from reference_seal_backend_tpu.schemes.params import BfvContext
 
@@ -153,6 +154,18 @@ class BehzTables:
         self.bsk_p = ctx.bsk_plan.p
         self.bsk_pni = ctx.bsk_plan.p_neg_inv
         self.bsk_r1 = _pair(((1 << 32) for _ in bsk), bsk)
+        # Fused tensor base q ∪ Bsk: one NTT plan over the stacked limb
+        # axis so the tensor product's six per-base transform sweeps
+        # (fwd a, fwd b, inv prod — per base) run as single stacked-limb
+        # sweeps.  Per-limb twiddles/constants are identical to the
+        # separate plans, so the fusion is bit-exact.
+        self.mult_plan = ntt_mod.make_plan(ctx.n, q_primes + bsk)
+        self.all_p = jnp.concatenate([self.q_p, self.bsk_p], axis=0)
+        self.all_pni = jnp.concatenate([self.q_pni, self.bsk_pni], axis=0)
+        self.all_r1 = (
+            jnp.concatenate([self.q_r1[0], self.bsk_r1[0]], axis=0),
+            jnp.concatenate([self.q_r1[1], self.bsk_r1[1]], axis=0),
+        )
 
 
 @functools.lru_cache(maxsize=None)
@@ -259,41 +272,46 @@ def _tensor(x, y, p, pni):
 
 
 def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    """BFV ct-ct multiply (no relinearization): 3-component result."""
+    """BFV ct-ct multiply (no relinearization): 3-component result.
+
+    Every transform sweep is fused across everything it can be: the two
+    operands ride one stacked leading axis, and the q and Bsk bases ride
+    one stacked limb axis (tb.mult_plan), so the whole multiply costs 4
+    serial NTT sweeps (inv inputs, fwd tensor operands, inv products,
+    fwd output) instead of 9 single-base ones.
+    """
     tb = tables_for(ctx)
     k = ctx.L
     if a.size != 2 or b.size != 2:
         raise NotImplementedError("bfv multiply expects size-2 inputs")
-    plan, bsk_plan = ctx.plan, ctx.bsk_plan
+    plan, mp = ctx.plan, tb.mult_plan
 
-    def to_coeff_normal(ct):
-        return modops.from_mont(plan.inv(ct.data, lo=0), tb.q_p, tb.q_pni)
+    shape = jnp.broadcast_shapes(a.data.shape, b.data.shape)
+    ab = jnp.stack(
+        [jnp.broadcast_to(a.data, shape), jnp.broadcast_to(b.data, shape)],
+        axis=0,
+    )  # [2ab, ..., 2, k, N] NTT Montgomery
+    ab_q = modops.from_mont(
+        plan.inv(ab, lo=0), tb.q_p, tb.q_pni
+    )  # [2ab, ..., 2, k, N] normal coeff
+    ab_bsk = _conv_to_bsk_mtilde(tb, ab_q)  # [2ab, ..., 2, kb, N]
 
-    a_q = to_coeff_normal(a)  # [..., 2, k, N] normal coeff
-    b_q = to_coeff_normal(b)
-    a_bsk = _conv_to_bsk_mtilde(tb, a_q)  # [..., 2, kb, N]
-    b_bsk = _conv_to_bsk_mtilde(tb, b_q)
-
-    prod_q = plan.inv(
-        _tensor(
-            plan.fwd(modops.shoup_mul(a_q, *tb.q_r1, tb.q_p), lo=0),
-            plan.fwd(b_q, lo=0),
-            tb.q_p,
-            tb.q_pni,
-        ),
-        lo=0,
-    )  # [..., 3, k, N] normal coeff
-    prod_bsk = bsk_plan.inv(
-        _tensor(
-            bsk_plan.fwd(
-                modops.shoup_mul(a_bsk, *tb.bsk_r1, tb.bsk_p), lo=0
-            ),
-            bsk_plan.fwd(b_bsk, lo=0),
-            tb.bsk_p,
-            tb.bsk_pni,
-        ),
-        lo=0,
-    )  # [..., 3, kb, N]
+    x_all = jnp.concatenate([ab_q, ab_bsk], axis=-2)  # [2ab, ..., 2, k+kb, N]
+    # Operand a enters Montgomery form (×R) so the dyadic Montgomery
+    # products land in normal form; operand b stays normal.
+    x_all = jnp.concatenate(
+        [
+            modops.shoup_mul(x_all[:1], *tb.all_r1, tb.all_p),
+            x_all[1:],
+        ],
+        axis=0,
+    )
+    ntt_all = mp.fwd(x_all, lo=0)
+    prod = mp.inv(
+        _tensor(ntt_all[0], ntt_all[1], tb.all_p, tb.all_pni), lo=0
+    )  # [..., 3, k+kb, N] normal coeff
+    prod_q = prod[..., :k, :]
+    prod_bsk = prod[..., k:, :]
 
     # scale by t, floor-divide by q (in Bsk), convert exactly back to q
     tc_q = modops.shoup_mul(prod_q, *tb.t_mod_q, tb.q_p)
