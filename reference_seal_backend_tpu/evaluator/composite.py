@@ -35,33 +35,53 @@ from reference_seal_backend_tpu.schemes.core import Ciphertext
 from reference_seal_backend_tpu.schemes import ckks as ckks_mod
 
 
+# Below this count the linear hoisted form (count-1 rotations sharing ONE
+# digit decomposition + ONE mod-down, Evaluator.rotate_sum) costs fewer
+# VPU ops than ceil(log2(count)) full key-switches; above it the log tree
+# wins.  Break-even from the measured cost model: a digit-lift ≈ 6.5×, a
+# mod-down ≈ 1.3× one key-inner-product.
+_HOIST_MAX_COUNT = 32
+
+
+def _hoisted(count: int) -> bool:
+    return 1 < count <= _HOIST_MAX_COUNT
+
+
 def rotations_for_accumulate(count: int, slots: int) -> List[int]:
-    """Power-of-two rotation steps accumulate() will use for ``count``."""
+    """Rotation steps accumulate() will use for ``count`` (drives which
+    Galois keys a benchmark generates): linear 1..count-1 for small counts
+    (hoisted key-switch), power-of-two tree otherwise."""
     count = min(count, slots)
     if count <= 1:
         return []
+    if _hoisted(count):
+        return list(range(1, count))
     return [1 << i for i in range(math.ceil(math.log2(count)))]
 
 
 def accumulate(ev: Evaluator, ct: Ciphertext, count: int) -> Ciphertext:
-    """Sum slots 0..count-1 into slot 0 (other slots hold partial sums).
+    """Sum slots 0..count-1 into slot 0.
 
-    CKKS: rotate_vector tree.  BFV: rotate_rows tree on the adjusted row
-    count, plus one rotate_columns when count exceeds the row size.
+    Small counts: one hoisted multi-rotation (slot j then holds the exact
+    window sum Σ_{i<count} v[j+i]).  Large counts: log2 rotate-add tree
+    (slots hold power-of-two-window partial sums).  Every caller — dot
+    product, matmultval row·row, logreg W·x — reads slot 0 only, like the
+    reference (accumulateCKKS/BFV results are read at slot 0, e.g.
+    /root/reference src/benchmarks/ckks/seal_ckks_dot_product_benchmark.cpp:202-219).
+    BFV: rotations act per batching row, plus one rotate_columns fold when
+    count exceeds the row size.
     """
     ctx = ev.ctx
-    if ctx.scheme == "bfv":
-        row = ctx.n // 2
-        row_count = min(count, row)
+    row = ctx.n // 2 if ctx.scheme == "bfv" else ctx.slots
+    row_count = min(count, row)
+    if _hoisted(row_count):
+        out = ev.rotate_sum(ct, list(range(row_count)))
+    else:
         out = ct
         for step in rotations_for_accumulate(row_count, row):
             out = ev.add(out, ev.rotate(out, step))
-        if count > row:
-            out = ev.add(out, ev.conjugate(out))
-        return out
-    out = ct
-    for step in rotations_for_accumulate(count, ctx.slots):
-        out = ev.add(out, ev.rotate(out, step))
+    if ctx.scheme == "bfv" and count > row:
+        out = ev.add(out, ev.conjugate(out))
     return out
 
 

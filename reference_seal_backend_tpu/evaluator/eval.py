@@ -27,8 +27,9 @@ from __future__ import annotations
 
 import functools
 from dataclasses import replace
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
@@ -52,6 +53,9 @@ class Evaluator:
     def __init__(self, ctx: Context, keys: Optional[KeySet] = None):
         self.ctx = ctx
         self.keys = keys
+        # Galois keys with the inverse automorphism pre-applied, for
+        # hoisted rotations (rotate_sum); built lazily per element.
+        self._hoist_cache: dict = {}
 
     # -- linear ops ---------------------------------------------------------
 
@@ -179,18 +183,8 @@ class Evaluator:
         ctx = self.ctx
         l = level
         sp = ctx.sp_row
-        # 1) digits: coefficient-domain normal-form residues per live limb.
-        d_coeff = ctx.plan.inv(d, lo=0)
-        d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
-        # 2) lift each source digit onto all targets (live ∪ special).
-        p_t, _, mu_t = self._switch_targets(l)
-        lifted = modops.barrett_reduce_u32(
-            d_norm[..., :, None, :], p_t, mu_t
-        )  # [..., l_src, l+1, N]
-        # 3) forward NTT per target modulus (normal form stays normal).
-        data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
-        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=sp)
-        dig = jnp.concatenate([data_part, sp_part], axis=-2)
+        p_t, _, _ = self._switch_targets(l)
+        dig = self._hoisted_digits(d, l)
         # 4) inner product with the switch key (Shoup constants: the keys
         #    are per-context constants, normal·Mont lands in Montgomery
         #    form) and accumulate over source digits.
@@ -205,6 +199,28 @@ class Evaluator:
         kb = self._mod_down_special(acc_b, l)
         ka = self._mod_down_special(acc_a, l)
         return kb, ka
+
+    def _hoisted_digits(self, d: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Steps 1-3 of key switching for ``d`` [..., l, N] NTT Montgomery:
+        digit decomposition, cross-limb lift, per-target forward NTT.
+        Returns [..., l, l+1, N] normal-form digits over live ∪ special.
+        The expensive part (the O(l²) lift NTTs) — shared across all
+        rotations of one ciphertext by :meth:`rotate_sum` (hoisting)."""
+        ctx = self.ctx
+        l = level
+        sp = ctx.sp_row
+        # 1) digits: coefficient-domain normal-form residues per live limb.
+        d_coeff = ctx.plan.inv(d, lo=0)
+        d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
+        # 2) lift each source digit onto all targets (live ∪ special).
+        p_t, _, mu_t = self._switch_targets(l)
+        lifted = modops.barrett_reduce_u32(
+            d_norm[..., :, None, :], p_t, mu_t
+        )  # [..., l_src, l+1, N]
+        # 3) forward NTT per target modulus (normal form stays normal).
+        data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
+        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=sp)
+        return jnp.concatenate([data_part, sp_part], axis=-2)
 
     def _mod_down_special(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
         """[..., l+1, N] (live + special rows, NTT Mont) -> [..., l, N]
@@ -366,6 +382,96 @@ class Evaluator:
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         """CKKS slot conjugation / BFV rotate_columns (element 2N-1)."""
         return self.apply_galois(a, 2 * self.ctx.n - 1)
+
+    # -- hoisted rotations ---------------------------------------------------
+
+    def _hoisted_key(self, g: int) -> SwitchKey:
+        """Galois switch key for element ``g`` with the inverse automorphism
+        φ_{g^{-1}} pre-applied along the slot axis (host-side, one-time):
+
+            K_g[i] = φ_{g^{-1}}(ksk_g[i])   so that
+            φ_g(Σ_i D_i·K_g[i]) = Σ_i φ_g(D_i)·ksk_g[i]
+
+        i.e. the hoisted rotation's inner product runs against the *shared*
+        digit tensor, and the (cheap, [l+1, N]-sized) automorphism gather
+        moves onto the accumulated result instead of the wide digits."""
+        if g not in self._hoist_cache:
+            key = self.keys.galois[g]
+            g_inv = pow(g, -1, 2 * self.ctx.n)
+            perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
+            take = lambda arr: jnp.asarray(
+                np.take(np.asarray(arr), perm, axis=-1)
+            )
+            self._hoist_cache[g] = SwitchKey(
+                b=take(key.b), a=take(key.a),
+                bs=take(key.bs), as_=take(key.as_),
+            )
+        return self._hoist_cache[g]
+
+    def rotate_sum(self, a: Ciphertext, steps: Sequence[int]) -> Ciphertext:
+        """Σ_s rotate(a, s) over ``steps`` with ONE hoisted digit
+        decomposition and ONE mod-down shared across all rotations
+        (Halevi-Shoup hoisting).  Validity: the permuted digits
+        φ_g(lift(d_i)) stay congruent to φ_g(d) mod q_i and bounded, which
+        is all the gadget identity needs — representatives only affect the
+        rounding noise, where one shared mod-down rounds *once* instead of
+        once per rotation.
+
+        Replaces the reference MatMultRow hot loop's rotate-then-add
+        accumulation (/root/reference
+        src/benchmarks/ckks/seal_ckks_matmult_row_benchmark.cpp:496-523)
+        at 1/len(steps) of the dominant digit-lift NTT cost.  Step 0 is
+        the identity (no key needed); each other step needs its Galois
+        key.  Same level/scale as the input.
+        """
+        ctx = self.ctx
+        if a.size != 2:
+            raise ValueError("relinearize before rotating")
+        n = ctx.n
+        slots = n // 2
+        norm = [s % slots for s in steps]
+        nonzero = [s for s in norm if s != 0]
+        n_id = len(norm) - len(nonzero)
+        l = a.level
+        p = ctx.p[:l]
+        if not nonzero:
+            out = a.data
+            for _ in range(n_id - 1):
+                out = modops.mod_add(out, a.data, p)
+            return replace(a, data=out)
+        sp = ctx.sp_row
+        p_t, _, _ = self._switch_targets(l)
+        dig = self._hoisted_digits(a.data[..., 1, :, :], l)
+        cat2 = lambda k: jnp.concatenate(
+            [k[:l, :l], k[:l, sp : sp + 1]], axis=1
+        )
+        acc = None           # [..., 2(b,a), l+1, N] pre-mod-down sum
+        c0_parts = []        # permuted c0 components, [..., l, N]
+        for s in nonzero:
+            g = pow(5, s, 2 * n)
+            if self.keys is None or g not in self.keys.galois:
+                raise ValueError(f"missing Galois key for element {g}")
+            hk = self._hoisted_key(g)
+            pair_w = jnp.stack([cat2(hk.b), cat2(hk.a)])    # [2, l, l+1, N]
+            pair_s = jnp.stack([cat2(hk.bs), cat2(hk.as_)])
+            terms = modops.shoup_mul(
+                dig[..., None, :, :, :], pair_w, pair_s, p_t
+            )  # [..., 2, l, l+1, N]
+            acc_g = _mod_sum(terms, p_t, axis=-3)           # [..., 2, l+1, N]
+            perm = ctx.plan.galois_perm(g)
+            acc_g = jnp.take(acc_g, perm, axis=-1)          # apply φ_g
+            acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)
+            c0_parts.append(
+                jnp.take(a.data[..., 0, :, :], perm, axis=-1)
+            )
+        kba = self._mod_down_special(acc, l)                # [..., 2, l, N]
+        c0_rot = _mod_sum(jnp.stack(c0_parts), p, axis=0)
+        c0 = modops.mod_add(c0_rot, kba[..., 0, :, :], p)
+        c1 = kba[..., 1, :, :]
+        for _ in range(n_id):
+            c0 = modops.mod_add(c0, a.data[..., 0, :, :], p)
+            c1 = modops.mod_add(c1, a.data[..., 1, :, :], p)
+        return replace(a, data=jnp.stack([c0, c1], axis=-3))
 
 
 def _mod_sum(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:

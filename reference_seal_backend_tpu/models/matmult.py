@@ -24,9 +24,10 @@ algorithm-variant id exactly like the reference's ``descriptor.other``:
   ciphertext; per row one ct-ct multiply + relin, then rotations by
   multiples of ``spacers`` accumulate the inner dimension
   (…seal_ckks_matmult_row_benchmark.cpp:222-289, 472-523).  The reference
-  rotates c0−1 times (linear); we size the block count to the next power
-  of two (blocks beyond c0 are zero) so a **log2 rotate-add tree** gives
-  the same result with exponentially fewer key-switches.  BFV packs two
+  rotates c0−1 times, paying a full Galois key-switch per rotation; here
+  the same c0−1 rotations share ONE hoisted digit decomposition and ONE
+  mod-down (Evaluator.rotate_sum), so the dominant O(l²) digit-lift NTT
+  cost is paid once instead of per-rotation.  BFV packs two
   M0 rows per ciphertext using the two batching rows and rotates within
   rows (…seal_bfv_matmult_row_benchmark.cpp:226-283), duplicating M1 into
   both halves.
@@ -185,10 +186,12 @@ class MatMultRowBenchmark(_MatMultBase):
             )
 
     def rotation_steps(self) -> List[int]:
-        return [
-            self.spacers * (1 << s)
-            for s in range(int(math.log2(self.blocks)))
-        ]
+        # Linear steps j·spacers, j ∈ [1, c0): with hoisted key switching
+        # (Evaluator.rotate_sum) all of them share one digit decomposition
+        # and one mod-down, so the linear form beats the earlier log2
+        # rotate-add tree, whose every level paid the full O(l²) digit-lift
+        # NTT cost.  Blocks >= c0 hold zeros and are skipped outright.
+        return [self.spacers * j for j in range(1, self.c0)]
 
     def _pack_m0_row(self, row_vals: np.ndarray) -> np.ndarray:
         """Row of M0 -> slot vector: block j holds row_vals[j] in its
@@ -235,9 +238,9 @@ class MatMultRowBenchmark(_MatMultBase):
 
     def _operate_impl(self, m0, m1):
         out = self.ev.relinearize(self.ev.multiply(m0, m1))
-        for step in self.rotation_steps():
-            out = self.ev.add(out, self.ev.rotate(out, step))
-        return out
+        # Block 0 of the result needs Σ_j rot(out, j·spacers) over the c0
+        # live blocks; one hoisted key-switch covers every rotation.
+        return self.ev.rotate_sum(out, [0] + self.rotation_steps())
 
     def decrypt(self, stored: Handle) -> Handle:
         ct_rows = stored.payload.data.shape[0]

@@ -6,6 +6,9 @@ tests/test_pallas_ntt.py; Mosaic lowering differences only show up here),
 then reports per-row transform timings for both paths.
 
 Usage:  python scripts/chip_check.py [N] [LIMBS] [ROWS]
+        python scripts/chip_check.py ops [N]   # evaluator-op microbench
+                                               # (BFV multiply, rotate vs
+                                               # hoisted rotate_sum)
 """
 
 from __future__ import annotations
@@ -28,7 +31,79 @@ from reference_seal_backend_tpu.ops import ntt  # noqa: E402
 from reference_seal_backend_tpu.ops.pallas import ntt_kernel  # noqa: E402
 
 
+def _time(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def ops_bench(n: int) -> None:
+    """Time the evaluator ops the round's optimizations target."""
+    from dataclasses import replace as _rep
+
+    from reference_seal_backend_tpu.evaluator.eval import Evaluator
+    from reference_seal_backend_tpu.schemes import bfv, ckks, keys as keys_mod
+    from reference_seal_backend_tpu.schemes.params import (
+        make_bfv_context,
+        make_ckks_context,
+    )
+
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+
+    # BFV ct-ct multiply (fused q ∪ Bsk tensor-base sweeps)
+    bctx = make_bfv_context(poly_modulus_degree=n, n_data_primes=4)
+    bks = keys_mod.keygen(bctx, seed=1, need_relin=False)
+    benc = bfv.BfvBatchEncoder(bctx)
+    bencr = bfv.BfvEncryptor(bctx, bks)
+    ca = bencr.encrypt_pt(benc.encode(rng.integers(-99, 99, bctx.slots)))
+    cb = bencr.encrypt_pt(benc.encode(rng.integers(-99, 99, bctx.slots)))
+    bev = Evaluator(bctx, bks)
+    mult = jax.jit(bev.multiply)
+    dt = _time(mult, ca, cb)
+    print(f"bfv multiply N={n} L={bctx.L}: {dt * 1e6:.0f} us/op")
+
+    # CKKS rotate (full key-switch) vs hoisted rotate_sum over 9 steps
+    cctx = make_ckks_context(poly_modulus_degree=n, mult_depth=3)
+    steps = list(range(1, 9))
+    cks = keys_mod.keygen(
+        cctx,
+        seed=2,
+        galois_elts=[pow(5, s, 2 * cctx.n) for s in steps],
+        need_relin=False,
+    )
+    cenc = ckks.CkksEncoder(cctx)
+    cencr = ckks.CkksEncryptor(cctx, cks)
+    ct = cencr.encrypt_pt(cenc.encode(rng.uniform(-1, 1, cctx.slots)))
+    cev = Evaluator(cctx, cks)
+    rot1 = jax.jit(lambda c: cev.rotate(c, 1))
+    dt1 = _time(rot1, ct)
+    print(f"ckks rotate N={n} L={cctx.L}: {dt1 * 1e6:.0f} us/op")
+
+    def serial(c):
+        out = c
+        for s in steps:
+            out = cev.add(out, cev.rotate(c, s))
+        return out
+
+    dt_serial = _time(jax.jit(serial), ct)
+    rsum = jax.jit(lambda c: cev.rotate_sum(c, [0] + steps))
+    dt_hoist = _time(rsum, ct)
+    print(
+        f"ckks 9-rotation sum N={n} L={cctx.L}: serial "
+        f"{dt_serial * 1e6:.0f} us, hoisted {dt_hoist * 1e6:.0f} us "
+        f"({dt_serial / dt_hoist:.2f}x)"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ops":
+        ops_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 8192)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     nl = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     rows = int(sys.argv[3]) if len(sys.argv) > 3 else 64

@@ -21,7 +21,9 @@ EPS = 5e-5
 @pytest.fixture(scope="module")
 def ckks_setup():
     ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=4)
-    steps = [1, 2, 4, 8, 16, 32, 64] + [-1, -2, -4]
+    # linear steps for hoisted small-count accumulate, power-of-two tree
+    # steps for large counts, negative steps for collapse
+    steps = list(range(1, 16)) + [16, 32, 64] + [-1, -2, -4]
     ks = keys_mod.keygen(
         ctx,
         seed=3,
@@ -74,11 +76,13 @@ def test_evaluate_polynomial(ckks_setup):
 def test_accumulate_bfv_with_column_fold():
     ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3)
     row = ctx.n // 2
-    steps = composite.rotations_for_accumulate(row, row)
+    steps = set(composite.rotations_for_accumulate(row, row))
+    steps |= set(composite.rotations_for_accumulate(5, row))
     ks = keys_mod.keygen(
         ctx,
         seed=13,
-        galois_elts=[pow(5, s, 2 * ctx.n) for s in steps] + [2 * ctx.n - 1],
+        galois_elts=[pow(5, s, 2 * ctx.n) for s in sorted(steps)]
+        + [2 * ctx.n - 1],
     )
     enc = bfv.BfvBatchEncoder(ctx)
     encryptor = bfv.BfvEncryptor(ctx, ks)
@@ -90,3 +94,40 @@ def test_accumulate_bfv_with_column_fold():
         ct = encryptor.encrypt_pt(enc.encode(v))
         out = dec.decrypt(composite.accumulate(ev, ct, count))
         assert out[0] == v[:count].sum()
+
+
+def test_rotate_sum_hoisted_ckks(ckks_setup):
+    """rotate_sum (one hoisted decomposition + one mod-down) must agree
+    with serial rotate-then-add across distinct steps incl. identity."""
+    ctx, enc, encryptor, dec, ev = ckks_setup
+    v = RNG.uniform(-1, 1, ctx.slots)
+    ct = encryptor.encrypt_pt(enc.encode(v))
+    for steps in ([0, 1, 2, 4], [1, 16, 64], [0], [2]):
+        want = np.zeros(ctx.slots)
+        for s in steps:
+            want += np.roll(v, -s)
+        got = dec.decrypt(ev.rotate_sum(ct, steps)).real
+        np.testing.assert_allclose(got, want, atol=EPS * len(steps))
+
+
+def test_rotate_sum_hoisted_bfv_exact():
+    """BFV rotate_sum must decode exactly (rotate_rows semantics)."""
+    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3)
+    row = ctx.n // 2
+    ks = keys_mod.keygen(
+        ctx,
+        seed=17,
+        galois_elts=[pow(5, s, 2 * ctx.n) for s in (1, 2)],
+    )
+    enc = bfv.BfvBatchEncoder(ctx)
+    encryptor = bfv.BfvEncryptor(ctx, ks)
+    dec = bfv.BfvDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    v = RNG.integers(-500, 500, ctx.slots).astype(np.int64)
+    ct = encryptor.encrypt_pt(enc.encode(v))
+    steps = [0, 1, 2]
+    want = np.zeros_like(v)
+    for s in steps:
+        want += np.concatenate([np.roll(v[:row], -s), np.roll(v[row:], -s)])
+    got = dec.decrypt(ev.rotate_sum(ct, steps))
+    np.testing.assert_array_equal(got, want)
