@@ -111,10 +111,20 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                 ),
             )
         )
+    # The reference registers cipherbatchaxis/row at MultDepth 3 because
+    # its per-element algorithm burns three SEAL levels (SURVEY.md §2.2
+    # defaults table); this framework's packings consume at most ONE
+    # composite rescale (models/matmult.py), so their default chains carry
+    # depth 2 (one spare level, like eltwise) — which also keeps the
+    # N=8192 modulus inside the HE-standard 128-bit bound that every
+    # default descriptor must satisfy (schemes/params.py
+    # max_coeff_bits_128; a depth-3 composite chain at N=8192 is 251 bits
+    # against the 218-bit cap and would be refused, exactly as SEAL
+    # refuses oversized chains under tc128).
     for variant, depth in (
         (MATMULT_VAL, 2),
-        (MATMULT_CIPHERBATCHAXIS, 3),
-        (MATMULT_ROW, 3),
+        (MATMULT_CIPHERBATCHAXIS, 2),
+        (MATMULT_ROW, 2),
     ):
         for scheme, dt in ((Scheme.CKKS, "float64"), (Scheme.BFV, "int64")):
             out.append(

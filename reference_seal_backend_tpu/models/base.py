@@ -76,11 +76,16 @@ class HEBenchmark(abc.ABC):
         # PlainModulusBits — src/benchmarks/ckks/
         # seal_ckks_element_wise_benchmark.cpp:58-65).  NumThreads has no
         # analogue: batching is a jitted axis, not a thread pool.
+        # sec_level mirrors the reference: every context is built with
+        # 128-bit HE-standard enforcement unless the caller explicitly
+        # opts out for small test configs (sec_level=0).
+        sec = p.get("sec_level", 128)
         if descriptor.scheme is Scheme.CKKS:
             self.ctx = make_ckks_context(
                 poly_modulus_degree=p["poly_modulus_degree"],
                 mult_depth=p["mult_depth"],
                 scale_bits=p.get("scale_bits", 52),
+                sec_level=sec,
             )
             self.encoder = ckks_mod.CkksEncoder(self.ctx)
         else:
@@ -89,20 +94,29 @@ class HEBenchmark(abc.ABC):
                 mult_depth=p["mult_depth"],
                 plain_modulus_bits=p.get("plain_modulus_bits", 20),
                 n_data_primes=p.get("n_data_primes", 4),
+                sec_level=sec,
             )
             self.encoder = bfv_mod.BfvBatchEncoder(self.ctx)
         galois_elts = self._galois_elements()
+        key_seed = p.get("key_seed", 1234)
         self.keys = keys_mod.keygen(
             self.ctx,
-            seed=p.get("key_seed", 1234),
+            seed=key_seed,
             galois_elts=galois_elts,
             need_relin=True,
         )
+        # Encryption randomness is seeded from the benchmark's key seed so
+        # runs are reproducible end to end (the reference gets this from
+        # the harness's --random_seed driving its input generation).
         if descriptor.scheme is Scheme.CKKS:
-            self.encryptor = ckks_mod.CkksEncryptor(self.ctx, self.keys)
+            self.encryptor = ckks_mod.CkksEncryptor(
+                self.ctx, self.keys, seed=key_seed
+            )
             self.decryptor = ckks_mod.CkksDecryptor(self.ctx, self.keys)
         else:
-            self.encryptor = bfv_mod.BfvEncryptor(self.ctx, self.keys)
+            self.encryptor = bfv_mod.BfvEncryptor(
+                self.ctx, self.keys, seed=key_seed
+            )
             self.decryptor = bfv_mod.BfvDecryptor(self.ctx, self.keys)
         self.ev = Evaluator(self.ctx, self.keys)
 
@@ -181,10 +195,17 @@ class HEBenchmark(abc.ABC):
             "slots": str(ctx.slots),
             "coeff_modulus_chain_bits": "|".join(map(str, chain)),
             "special_modulus_bits": str(ctx.special_prime.bit_length()),
-            "total_coeff_modulus_bits": str(
-                sum(chain) + ctx.special_prime.bit_length()
+            "total_coeff_modulus_bits": str(ctx.total_coeff_bits),
+            # Computed, never asserted: "128 bits" only when the full
+            # modulus respects the HE-standard classical-128 bound the
+            # reference enforces via SEALContext(tc128)
+            # (/root/reference src/engine/seal_context.cpp:89-90).
+            "security": (
+                "128 bits"
+                if ctx.secure_128
+                else f"none (exceeds HE-standard 128-bit bound "
+                f"{ctx.max_secure_bits} bits for N={ctx.n})"
             ),
-            "security": "128 bits",
         }
         if self.descriptor.scheme is Scheme.CKKS:
             desc["scale_bits"] = str(self.params.get("scale_bits", 52))

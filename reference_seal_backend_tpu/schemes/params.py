@@ -36,6 +36,36 @@ from reference_seal_backend_tpu.ops import ntt as ntt_mod
 from reference_seal_backend_tpu.ops import modops
 
 
+# HE-standard (homomorphicencryption.org Security Standard v1.1, Table 1,
+# ternary secret, classical 128-bit) maximum total coeff-modulus bits per
+# polynomial degree — the same table SEAL enforces through
+# ``CoeffModulus::MaxBitCount(n, sec_level_type::tc128)``.  The reference
+# constructs every context with that enforcement on
+# (/root/reference src/engine/seal_context.cpp:89-90, 118-119:
+# ``std::make_shared<seal::SEALContext>(parameters, true, sec_level)``)
+# and SEAL refuses parameter sets whose modulus exceeds the bound.
+HE_STD_128_CLASSICAL: Dict[int, int] = {
+    1024: 27,
+    2048: 54,
+    4096: 109,
+    8192: 218,
+    16384: 438,
+    32768: 881,
+}
+
+
+def max_coeff_bits_128(n: int) -> int:
+    """Max total coeff-modulus bits for 128-bit classical security at
+    degree ``n`` (0 when the degree is below the standard's table — no
+    parameter set at that degree is considered secure)."""
+    return HE_STD_128_CLASSICAL.get(n, 0 if n < 32768 else HE_STD_128_CLASSICAL[32768])
+
+
+class InsecureParametersError(ValueError):
+    """Parameter set violates the requested HE-standard security level
+    (the analogue of SEAL's invalid-parameters failure under tc128)."""
+
+
 @dataclass(frozen=True)
 class CkksParams:
     """User-facing CKKS parameters (analogue of the workload params the
@@ -55,6 +85,11 @@ class CkksParams:
     # extra bottom primes beyond the rescale chain: 2 gives ~62-bit decode
     # headroom like SEAL's 60-bit q0.
     bottom_primes: int = 2
+    # HE-standard security enforcement: 128 refuses parameter sets above
+    # the classical-128-bit modulus bound (like SEALContext under tc128,
+    # /root/reference src/engine/seal_context.cpp:89-90); 0 disables the
+    # check for small test configs (SEAL's sec_level_type::none).
+    sec_level: int = 128
 
 
 @dataclass(frozen=True)
@@ -64,6 +99,7 @@ class BfvParams:
     plain_modulus_bits: int = 20
     # data primes sized for noise budget; ~30-bit each.
     n_data_primes: int = 4
+    sec_level: int = 128  # see CkksParams.sec_level
 
 
 def _stack_consts(primes, key) -> np.ndarray:
@@ -81,13 +117,31 @@ class Context:
     """
 
     def __init__(self, scheme: str, n: int, data_primes: Tuple[int, ...],
-                 special_prime: int):
+                 special_prime: int, sec_level: int = 128):
         self.scheme = scheme
         self.n = n
         self.data_primes = tuple(data_primes)
         self.special_prime = special_prime
         self.primes = self.data_primes + (special_prime,)
         self.L = len(self.data_primes)
+        # HE-standard security accounting over the FULL modulus q ∪ {P}:
+        # key-switching keys are RLWE samples mod q·P, so the special
+        # modulus counts exactly as SEAL counts its key prime.  (BFV's
+        # BEHZ auxiliary base is a transient computation base, never a
+        # ciphertext modulus, and does not count.)
+        self.total_coeff_bits = sum(p.bit_length() for p in self.primes)
+        self.max_secure_bits = max_coeff_bits_128(n)
+        self.secure_128 = self.total_coeff_bits <= self.max_secure_bits
+        self.sec_level = sec_level
+        if sec_level == 128 and not self.secure_128:
+            raise InsecureParametersError(
+                f"total coeff modulus {self.total_coeff_bits} bits exceeds "
+                f"the HE-standard 128-bit classical bound "
+                f"{self.max_secure_bits} for N={n}; pass sec_level=0 to "
+                f"build an insecure test context"
+            )
+        elif sec_level not in (0, 128):
+            raise ValueError("sec_level must be 128 (enforced) or 0 (off)")
         self.plan = ntt_mod.make_plan(n, self.primes)
         self.sp_row = self.L  # row index of the special modulus
 
@@ -157,11 +211,13 @@ class CkksContext(Context):
         g = params.rescale_group
         if params.scale_bits // g > 30:
             raise ValueError("per-prime scale bits must be <= 30")
-        # Special/bottom primes large (near 2^31) for headroom; scale primes
+        # Special/bottom primes large (near 2^30) for headroom; scale primes
         # nearest 2^(scale_bits/g), alternating above/below so each group's
-        # product stays close to 2^scale_bits.
+        # product stays close to 2^scale_bits.  The 30-bit cap (not 31)
+        # keeps every plan on the Harvey lazy-reduction NTT path
+        # (ops/ntt.py: butterfly values in [0,4p) need 4p < 2^32).
         big = primegen.gen_ntt_primes(
-            params.bottom_primes + 1, 31, two_n
+            params.bottom_primes + 1, 30, two_n
         )
         special = big[0]
         bottom = tuple(big[1:])
@@ -174,7 +230,7 @@ class CkksContext(Context):
         # Chain order: bottom primes first (never dropped), then scale
         # primes (dropped in groups of g, last-first, by rescale).
         data = bottom + scale_primes
-        super().__init__("ckks", n, data, special)
+        super().__init__("ckks", n, data, special, params.sec_level)
         self.params = params
         self.scale = float(2 ** params.scale_bits)
         self.rescale_group = g
@@ -193,11 +249,12 @@ class BfvContext(Context):
         t = primegen.gen_primes_near(
             1, params.plain_modulus_bits, two_n
         )[0]
-        big = primegen.gen_ntt_primes(1 + params.n_data_primes, 31, two_n,
+        # 30-bit cap: see CkksContext (Harvey lazy-reduction NTT path).
+        big = primegen.gen_ntt_primes(1 + params.n_data_primes, 30, two_n,
                                       avoid=(t,))
         special = big[0]
         data = tuple(big[1:])
-        super().__init__("bfv", n, data, special)
+        super().__init__("bfv", n, data, special, params.sec_level)
         self.params = params
         self.t = t
         q = self.q_at_level(self.L)
@@ -214,12 +271,12 @@ class BfvContext(Context):
             )
         )
         self.slots = n
-        # Auxiliary BEHZ bases for ct-ct multiply: B = k+1 31-bit primes
+        # Auxiliary BEHZ bases for ct-ct multiply: B = k+1 30-bit primes
         # (one more than q so B ≫ q gives Shenoy-Kumaresan headroom with
         # same-width primes), plus m_sk; all NTT-friendly, distinct from
         # q ∪ {special}.
         aux = primegen.gen_ntt_primes(
-            self.L + 2, 31, two_n, avoid=self.primes + (t,)
+            self.L + 2, 30, two_n, avoid=self.primes + (t,)
         )
         self.aux_primes = tuple(aux[: self.L + 1])  # base B
         self.m_sk = aux[self.L + 1]
@@ -234,6 +291,7 @@ def make_ckks_context(
     scale_bits: int = 52,
     rescale_group: int = 2,
     bottom_primes: int = 2,
+    sec_level: int = 128,
 ) -> CkksContext:
     return CkksContext(
         CkksParams(
@@ -242,6 +300,7 @@ def make_ckks_context(
             scale_bits,
             rescale_group,
             bottom_primes,
+            sec_level,
         )
     )
 
@@ -252,9 +311,14 @@ def make_bfv_context(
     mult_depth: int = 2,
     plain_modulus_bits: int = 20,
     n_data_primes: int = 4,
+    sec_level: int = 128,
 ) -> BfvContext:
     return BfvContext(
         BfvParams(
-            poly_modulus_degree, mult_depth, plain_modulus_bits, n_data_primes
+            poly_modulus_degree,
+            mult_depth,
+            plain_modulus_bits,
+            n_data_primes,
+            sec_level,
         )
     )

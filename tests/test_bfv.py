@@ -16,7 +16,7 @@ RNG = np.random.default_rng(99)
 
 @pytest.fixture(scope="module")
 def setup():
-    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3)
+    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3, sec_level=0)
     ks = keys_mod.keygen(
         ctx,
         seed=11,

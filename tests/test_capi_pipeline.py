@@ -17,7 +17,7 @@ def test_capi_seven_step_pipeline():
     bid = capi.benchmark_create(
         eid,
         "ckks_eltwise_add_latency",
-        json.dumps({"poly_modulus_degree": 2048, "n": 64}),
+        json.dumps({"poly_modulus_degree": 2048, "n": 64, "sec_level": 0}),
     )
     assert bid > 0, capi.last_error()
     rng = np.random.default_rng(5)

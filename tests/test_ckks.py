@@ -18,7 +18,7 @@ EPS = 5e-5
 
 @pytest.fixture(scope="module")
 def setup():
-    ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=2)
+    ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=2, sec_level=0)
     ks = keys_mod.keygen(
         ctx,
         seed=7,
@@ -75,6 +75,42 @@ def test_add_sub_negate(setup):
         dec.decrypt(ev.sub(ca, cb)).real, va - vb, atol=EPS
     )
     np.testing.assert_allclose(dec.decrypt(ev.negate(ca)).real, -va, atol=EPS)
+
+
+def test_add_sub_mismatched_sizes(setup):
+    """size-3 (pre-relin product) ± size-2 in both argument orders."""
+    ctx, ks, enc, encryptor, dec, ev = setup
+    va, vb = _vals(ctx), _vals(ctx)
+    ca = encryptor.encrypt_pt(enc.encode(va))
+    cb = encryptor.encrypt_pt(enc.encode(vb))
+    p3 = ev.multiply(ca, cb)      # size 3, scale^2
+    p2 = ev.relinearize(p3)       # size 2, same value/scale
+    tol = 5e-4
+    np.testing.assert_allclose(
+        dec.decrypt(ev.sub(p3, p2)).real, np.zeros(ctx.slots), atol=tol
+    )
+    np.testing.assert_allclose(
+        dec.decrypt(ev.sub(p2, p3)).real, np.zeros(ctx.slots), atol=tol
+    )
+    np.testing.assert_allclose(
+        dec.decrypt(ev.add(p2, p3)).real, 2 * va * vb, atol=tol
+    )
+
+
+def test_encryptor_seed_reproducible(setup):
+    """Seeded encryptors produce identical ciphertexts across instances
+    (full-run reproducibility); unseeded ones draw fresh entropy."""
+    ctx, ks, enc, encryptor, dec, ev = setup
+    pt = enc.encode(_vals(ctx))
+    e1 = ckks.CkksEncryptor(ctx, ks, seed=99)
+    e2 = ckks.CkksEncryptor(ctx, ks, seed=99)
+    np.testing.assert_array_equal(
+        np.asarray(e1.encrypt_pt(pt).data), np.asarray(e2.encrypt_pt(pt).data)
+    )
+    e3 = ckks.CkksEncryptor(ctx, ks)
+    assert not np.array_equal(
+        np.asarray(e1.encrypt_pt(pt).data), np.asarray(e3.encrypt_pt(pt).data)
+    )
 
 
 def test_plain_ops(setup):

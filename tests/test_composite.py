@@ -20,7 +20,7 @@ EPS = 5e-5
 
 @pytest.fixture(scope="module")
 def ckks_setup():
-    ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=4)
+    ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=4, sec_level=0)
     # linear steps for hoisted small-count accumulate, power-of-two tree
     # steps for large counts, negative steps for collapse
     steps = list(range(1, 16)) + [16, 32, 64] + [-1, -2, -4]
@@ -67,14 +67,24 @@ def test_evaluate_polynomial(ckks_setup):
     v = RNG.uniform(-4, 4, ctx.slots)
     ct = encryptor.encrypt_pt(enc.encode(v))
     out = dec.decrypt(
-        composite.evaluate_polynomial(ev, encryptor, ct, coeffs)
+        composite.evaluate_polynomial(ev, ct, coeffs)
     ).real
     want = sum(c * v**i for i, c in enumerate(coeffs))
     np.testing.assert_allclose(out, want, atol=1e-4)
 
 
+def test_evaluate_polynomial_degree_one_and_constant(ckks_setup):
+    ctx, enc, encryptor, dec, ev = ckks_setup
+    v = RNG.uniform(-2, 2, ctx.slots)
+    ct = encryptor.encrypt_pt(enc.encode(v))
+    out = dec.decrypt(composite.evaluate_polynomial(ev, ct, [1.5, -0.25])).real
+    np.testing.assert_allclose(out, 1.5 - 0.25 * v, atol=1e-4)
+    out = dec.decrypt(composite.evaluate_polynomial(ev, ct, [0.75])).real
+    np.testing.assert_allclose(out, np.full(ctx.slots, 0.75), atol=1e-4)
+
+
 def test_accumulate_bfv_with_column_fold():
-    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3)
+    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3, sec_level=0)
     row = ctx.n // 2
     steps = set(composite.rotations_for_accumulate(row, row))
     steps |= set(composite.rotations_for_accumulate(5, row))
@@ -112,7 +122,7 @@ def test_rotate_sum_hoisted_ckks(ckks_setup):
 
 def test_rotate_sum_hoisted_bfv_exact():
     """BFV rotate_sum must decode exactly (rotate_rows semantics)."""
-    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3)
+    ctx = make_bfv_context(poly_modulus_degree=2048, n_data_primes=3, sec_level=0)
     row = ctx.n // 2
     ks = keys_mod.keygen(
         ctx,

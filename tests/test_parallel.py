@@ -22,9 +22,16 @@ RNG = np.random.default_rng(7)
 
 @pytest.fixture(scope="module")
 def setup():
-    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
+    # Keys for the power-of-two rotations the tests use directly PLUS the
+    # steps accumulate(count=8) actually requests (the hoisted small-count
+    # path rotates by every step 1..count-1, composite.py).
+    steps = sorted(
+        {1 << s for s in range(4)}
+        | set(composite.rotations_for_accumulate(8, N // 2))
+    )
     ks = keys_mod.keygen(
-        ctx, seed=5, galois_elts=[pow(5, 1 << s, 2 * N) for s in range(4)]
+        ctx, seed=5, galois_elts=[pow(5, s, 2 * N) for s in steps]
     )
     enc = ckks.CkksEncoder(ctx)
     encryptor = ckks.CkksEncryptor(ctx, ks)

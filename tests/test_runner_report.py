@@ -13,14 +13,16 @@ def test_report_files_and_descriptions(tmp_path):
         ["ckks_eltwise_add_latency"],
         seed=1234,
         report_dir=str(tmp_path),
-        params={"poly_modulus_degree": 2048},
+        params={"poly_modulus_degree": 2048, "sec_level": 0},
         verbose=False,
     )
     assert len(results) == 1 and results[0].passed
     d = results[0].description
     assert d["poly_modulus_degree"] == "2048"
     assert d["scheme"] == "CKKS"
-    assert d["security"] == "128 bits"
+    # security is computed, never asserted: the tiny test modulus exceeds
+    # the HE-standard 128-bit bound for N=2048 and must say so.
+    assert d["security"].startswith("none")
     assert "|" in d["coeff_modulus_chain_bits"]
 
     for name in ("report.csv", "summary.csv", "descriptions.csv"):

@@ -48,6 +48,9 @@ def _make(engine, workload, scheme, category, other=0, **params):
         and d.category is category
         and d.other == other
     )
+    # Tiny test N needs the explicit insecure-parameters opt-out (the
+    # production default refuses it like SEALContext under tc128).
+    params.setdefault("sec_level", 0)
     return engine.create_benchmark(desc, params)
 
 
