@@ -143,26 +143,44 @@ def collapse_rotation_steps(count: int) -> List[int]:
 
 def evaluate_polynomial(
     ev: Evaluator,
-    encryptor: ckks_mod.CkksEncryptor,
     ct: Ciphertext,
     coeffs: Sequence[float],
 ) -> Ciphertext:
     """Horner evaluation of Σ coeffs[i]·x^i on a CKKS ciphertext.
 
-    Mirrors reference evaluatePolynomial: the running value starts as an
-    encryption of the top coefficient and each step computes r·x + a_i
-    with level matching, relinearization and rescale.  Needs
-    len(coeffs)-1 rescale levels below ct's current level.
+    Counterpart of the reference's evaluatePolynomial (/root/reference
+    src/engine/seal_context.cpp:417-458) with two deliberate differences:
+    the running value starts as the *plaintext* top coefficient — the
+    reference instead encrypts it (…logreg_horner.cpp:471-476), an
+    unnecessary encryption of a public constant whose randomness would
+    here be traced once into the jitted graph and silently replayed — so
+    the first Horner step is a ct-pt multiply and no RNG ever runs under
+    jit; and each coefficient is encoded at the running value's *exact*
+    scale instead of force-overriding scales.  Needs len(coeffs)-1
+    rescale levels below ct's current level.
     """
     ctx = ev.ctx
     enc = ckks_mod.encoder_for(ctx)
     if len(coeffs) == 0:
         raise ValueError("polynomial needs at least one coefficient")
-    slots = np.full(ctx.slots, float(coeffs[-1]))
-    r = encryptor.encrypt_pt(enc.encode(slots, scale=ct.scale))
-    r = ev.mod_switch_to(r, ct.level)
+    if len(coeffs) == 1:
+        # Constant polynomial: a transparent (noiseless) ciphertext of
+        # the public constant — nothing secret to protect.
+        pt = enc.encode(np.full(ctx.slots, float(coeffs[0])), scale=ct.scale)
+        pt = ev.mod_switch_plain_to(pt, ct.level)
+        zero = jnp.zeros_like(pt.data)
+        return replace(
+            ct, data=jnp.stack([pt.data, zero], axis=-3), scale=pt.scale
+        )
+    rest = list(coeffs[:-1])[::-1]
+    # First step: r = c_top·x + a via ct-pt multiply (no relin needed).
+    top = enc.encode(np.full(ctx.slots, float(coeffs[-1])), scale=ct.scale)
+    top = ev.mod_switch_plain_to(top, ct.level)
+    r = ev.rescale_to_next(ev.multiply_plain(ct, top))
+    pt = enc.encode(np.full(ctx.slots, float(rest[0])), scale=r.scale)
+    r = ev.add_plain(r, ev.mod_switch_plain_to(pt, r.level))
     x = ct
-    for a in list(coeffs[:-1])[::-1]:
+    for a in rest[1:]:
         x = ev.mod_switch_to(x, r.level)
         r = ev.rescale_to_next(ev.relinearize(ev.multiply(r, x)))
         pt = enc.encode(np.full(ctx.slots, float(a)), scale=r.scale)

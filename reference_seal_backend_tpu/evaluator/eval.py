@@ -77,9 +77,20 @@ class Evaluator:
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         _check_binop(a, b)
         p = self.ctx.p[: a.level]
-        if a.size != b.size:
-            raise NotImplementedError("sub of mismatched sizes")
-        return replace(a, data=modops.mod_sub(a.data, b.data, p))
+        if a.size == b.size:
+            return replace(a, data=modops.mod_sub(a.data, b.data, p))
+        # Mismatched sizes (e.g. size-3 pre-relin minus size-2): subtract
+        # the common head componentwise; a's surplus tail passes through,
+        # b's surplus tail is negated (a - b on the missing components).
+        k = min(a.size, b.size)
+        head = modops.mod_sub(
+            a.data[..., :k, :, :], b.data[..., :k, :, :], p
+        )
+        if a.size > b.size:
+            tail = a.data[..., k:, :, :]
+        else:
+            tail = modops.mod_neg(b.data[..., k:, :, :], p)
+        return replace(a, data=jnp.concatenate([head, tail], axis=-3))
 
     def negate(self, a: Ciphertext) -> Ciphertext:
         return replace(a, data=modops.mod_neg(a.data, self.ctx.p[: a.level]))

@@ -51,7 +51,15 @@ class LogRegBenchmark(HEBenchmark):
             raise ValueError("feature count exceeds slot count")
         if self.batch > self.ctx.slots:
             raise ValueError("batch exceeds slot count")
-        self._op_jit = jax.jit(self._operate_impl)
+        # The pipeline compiles as three stage graphs instead of one
+        # monolith: at N=32768/depth-6 a single operate graph is too large
+        # for practical compile times, and the stage split costs nothing
+        # at runtime (each stage is still one fused XLA graph; the timed
+        # operate blocks once at the end).  jax.jit of the full
+        # _operate_impl remains available for the driver's compile check.
+        self._stage_dots = jax.jit(self._dots_impl)
+        self._stage_collapse = jax.jit(self._collapse_impl)
+        self._stage_sigmoid = jax.jit(self._sigmoid_impl)
 
     def rotation_steps(self) -> List[int]:
         steps = composite.rotations_for_accumulate(self.n, self.ctx.slots)
@@ -75,28 +83,38 @@ class LogRegBenchmark(HEBenchmark):
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="logreg_ct", payload=cts)
 
-    def _operate_impl(self, w, b, x):
+    def _dots_impl(self, w, x):
         ev = self.ev
         # 1) batched dot products W·X_i  (w broadcasts over x's batch axis)
         w1 = replace(w, data=w.data[0])
         prod = ev.relinearize(ev.multiply(w1, x))
         prod = ev.rescale_to_next(prod)
-        dots = composite.accumulate(ev, prod, self.n)
+        return composite.accumulate(ev, prod, self.n)
+
+    def _collapse_impl(self, dots):
         # 2) collapse batch into slots of one ciphertext
-        collapsed = composite.collapse(ev, dots, self.batch)
+        return composite.collapse(self.ev, dots, self.batch)
+
+    def _sigmoid_impl(self, collapsed, b):
+        ev = self.ev
         # 3) bias add at matched level and scale
         b1 = replace(b, data=b.data[0])
         b1 = ev.mod_switch_to(b1, collapsed.level)
         b1 = replace(b1, scale=collapsed.scale)  # |Δscale| < 2^-40 relative
         z = ev.add(collapsed, b1)
         # 4) sigmoid ≈ degree-3 Horner
-        return composite.evaluate_polynomial(
-            ev, self.encryptor, z, SIGMOID_D3
-        )
+        return composite.evaluate_polynomial(ev, z, SIGMOID_D3)
+
+    def _operate_impl(self, w, b, x):
+        """Whole pipeline as one traceable function (driver compile check
+        and small-N tests jit this directly)."""
+        return self._sigmoid_impl(self._collapse_impl(self._dots_impl(w, x)), b)
 
     def operate(self, loaded: Handle) -> Handle:
         w, b, x = loaded.payload
-        out = self._op_jit(w, b, x)
+        out = self._stage_sigmoid(
+            self._stage_collapse(self._stage_dots(w, x)), b
+        )
         return Handle(tag="logreg_result", payload=out)
 
     def decrypt(self, stored: Handle) -> Handle:

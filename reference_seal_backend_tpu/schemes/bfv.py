@@ -16,7 +16,7 @@ scaling is applied inside encrypt/add_plain.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -82,11 +82,17 @@ class BfvBatchEncoder:
 
 
 class BfvEncryptor:
-    def __init__(self, ctx: BfvContext, keys: KeySet):
+    def __init__(
+        self, ctx: BfvContext, keys: KeySet, seed: Optional[int] = None
+    ):
+        """``seed`` makes the encryption randomness stream reproducible
+        (None draws fresh OS entropy — the production default)."""
         self.ctx = ctx
         self.keys = keys
         self._rng = np.random.default_rng(
-            np.random.SeedSequence([0xBF5, id(self) & 0xFFFF])
+            np.random.SeedSequence([0xBF5, seed])
+            if seed is not None
+            else None
         )
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:

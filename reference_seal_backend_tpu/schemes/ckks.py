@@ -97,11 +97,17 @@ class CkksEncoder:
 
 
 class CkksEncryptor:
-    def __init__(self, ctx: CkksContext, keys: KeySet):
+    def __init__(
+        self, ctx: CkksContext, keys: KeySet, seed: Optional[int] = None
+    ):
+        """``seed`` makes the encryption randomness stream reproducible
+        (None draws fresh OS entropy — the production default)."""
         self.ctx = ctx
         self.keys = keys
         self._rng = np.random.default_rng(
-            np.random.SeedSequence([0xE4C, id(self) & 0xFFFF])
+            np.random.SeedSequence([0xE4C, seed])
+            if seed is not None
+            else None
         )
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
