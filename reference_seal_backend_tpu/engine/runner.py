@@ -13,11 +13,21 @@ cmake.yml:45-48).  This module reproduces that contract in-process:
 * validation: BFV exact equality, CKKS absolute tolerance (the decode
   path already applies the reference's 5e-5 clamp);
 * ``report.csv`` / ``summary.csv`` outputs mirroring the harness's
-  quickstart artifacts (quickstart_guide.md:66-68).
+  quickstart artifacts (quickstart_guide.md:66-68);
+* the harness's YAML config tier: ``--config_file cfg.yaml --dump``
+  writes the default 20-benchmark configuration, and a subsequent run
+  with ``--config_file cfg.yaml`` executes it with per-benchmark
+  parameter/sample-size overrides — reproducing the reference CI's
+  dump → sed → re-run recipe verbatim
+  (/root/reference .github/workflows/cmake.yml:45-48).
 
 Usage:
     python -m reference_seal_backend_tpu.engine.runner \
         --random_seed 1234 --benchmarks ckks_eltwise_add_latency …
+    python -m reference_seal_backend_tpu.engine.runner \
+        --config_file config.yaml --dump   # write default config
+    python -m reference_seal_backend_tpu.engine.runner \
+        --config_file config.yaml          # run it
 """
 
 from __future__ import annotations
@@ -177,7 +187,12 @@ def run_all(
     report_dir: Optional[str] = None,
     params: Optional[Dict[str, int]] = None,
     verbose: bool = True,
+    min_test_time_ms: float = 0.0,
+    per_benchmark: Optional[Dict[str, Dict]] = None,
 ) -> List[RunResult]:
+    """Run benchmarks by name.  ``params`` applies to every benchmark;
+    ``per_benchmark[name]`` may carry {"params": {...}, "sample_size": n}
+    overrides from a YAML config (config params under CLI params)."""
     engine = Engine()
     names = benchmark_names or engine.names()
     unknown = [n for n in names if n not in engine.names()]
@@ -189,8 +204,16 @@ def run_all(
     results = []
     for name in names:
         desc = engine.find(name)
+        entry = (per_benchmark or {}).get(name, {})
+        eff_params = dict(entry.get("params") or {})
+        eff_params.update(params or {})
         res = run_benchmark(
-            engine, desc, seed=seed, params=params, sample_size=sample_size
+            engine,
+            desc,
+            seed=seed,
+            params=eff_params or None,
+            sample_size=entry.get("sample_size", sample_size),
+            min_test_time_ms=min_test_time_ms,
         )
         results.append(res)
         if verbose:
@@ -232,12 +255,66 @@ def run_all(
     return results
 
 
+# -- YAML configuration tier -------------------------------------------------
+#
+# Mirrors the reference harness's --config_file/--dump flow, which its CI
+# uses as dump → `sed -i 's/default_sample_size: 0/…: 3/'` → re-run
+# (/root/reference .github/workflows/cmake.yml:45-48).
+# ``default_sample_size: 0`` means "each benchmark's full registered
+# default" (the reason the CI seds it down to 3).
+
+FULL_DEFAULT_SAMPLE_SIZE = 5
+
+
+def dump_config(path: str) -> None:
+    """Write the default 20-descriptor configuration as YAML."""
+    import yaml
+
+    engine = Engine()
+    cfg = {
+        "default_min_test_time": 0,
+        "default_sample_size": 0,
+        "random_seed": 1234,
+        "benchmark": [
+            {"name": d.name, "params": dict(d.default_params)}
+            for d in engine.descriptors
+        ],
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def load_config(path: str):
+    """-> (names, per_benchmark, seed, min_test_time_ms) from a YAML config."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    default_n = int(cfg.get("default_sample_size", 0) or 0)
+    eff_default = default_n if default_n > 0 else FULL_DEFAULT_SAMPLE_SIZE
+    names = []
+    per_benchmark: Dict[str, Dict] = {}
+    for entry in cfg.get("benchmark", []):
+        name = entry["name"]
+        names.append(name)
+        per_benchmark[name] = {
+            "params": dict(entry.get("params") or {}),
+            "sample_size": int(entry.get("sample_size", eff_default)),
+        }
+    return (
+        names,
+        per_benchmark,
+        int(cfg.get("random_seed", 1234)),
+        float(cfg.get("default_min_test_time", 0)),
+    )
+
+
 def main(argv=None):
     from reference_seal_backend_tpu.utils import jaxcfg
 
     jaxcfg.setup()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--random_seed", type=int, default=1234)
+    ap.add_argument("--random_seed", type=int, default=None)
     ap.add_argument("--benchmarks", nargs="*", default=None,
                     help="benchmark names (default: all 20)")
     ap.add_argument("--default_sample_size", type=int, default=3,
@@ -245,18 +322,55 @@ def main(argv=None):
     ap.add_argument("--report_root_path", default=None)
     ap.add_argument("--poly_modulus_degree", type=int, default=None,
                     help="override N for every benchmark")
+    ap.add_argument("--sec_level", type=int, default=128, choices=(128, 0),
+                    help="HE-standard security enforcement: 128 refuses "
+                    "insecure parameter sets like the reference's "
+                    "SEALContext(tc128); 0 allows small test configs")
+    ap.add_argument("--min_test_time_ms", type=float, default=None,
+                    help="minimum timed-loop duration for the operate "
+                    "step (the harness's min_test_time_ms)")
+    ap.add_argument("--config_file", default=None,
+                    help="YAML benchmark configuration (see --dump)")
+    ap.add_argument("--dump", action="store_true",
+                    help="write the default configuration to --config_file "
+                    "and exit (reference CI recipe, cmake.yml:45-48)")
     args = ap.parse_args(argv)
-    params = (
-        {"poly_modulus_degree": args.poly_modulus_degree}
-        if args.poly_modulus_degree
-        else None
-    )
+
+    if args.dump:
+        if not args.config_file:
+            ap.error("--dump requires --config_file")
+        dump_config(args.config_file)
+        print(f"[ Info    ] Default configuration dumped to {args.config_file}")
+        return 0
+
+    params: Dict[str, int] = {}
+    if args.poly_modulus_degree:
+        params["poly_modulus_degree"] = args.poly_modulus_degree
+    if args.sec_level != 128:
+        params["sec_level"] = args.sec_level
+
+    names = args.benchmarks
+    per_benchmark = None
+    seed = 1234 if args.random_seed is None else args.random_seed
+    min_ms = 0.0 if args.min_test_time_ms is None else args.min_test_time_ms
+    if args.config_file:
+        names_cfg, per_benchmark, seed_cfg, min_ms_cfg = load_config(
+            args.config_file
+        )
+        names = names or names_cfg
+        if args.random_seed is None:
+            seed = seed_cfg
+        if args.min_test_time_ms is None:
+            min_ms = min_ms_cfg
+
     results = run_all(
-        args.benchmarks,
-        seed=args.random_seed,
+        names,
+        seed=seed,
         sample_size=args.default_sample_size,
         report_dir=args.report_root_path,
-        params=params,
+        params=params or None,
+        min_test_time_ms=min_ms,
+        per_benchmark=per_benchmark,
     )
     return 1 if any(not r.passed for r in results) else 0
 
