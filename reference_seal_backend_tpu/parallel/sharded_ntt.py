@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.ops.ntt import _bf_ct, _bf_gs
 
 
 def _phase1(plan, x, lo, n2_loc, inverse):
@@ -55,14 +56,9 @@ def _phase1(plan, x, lo, n2_loc, inverse):
         w = w[lo : lo + nl][..., None]
         ws = ws[lo : lo + nl][..., None]
         if not inverse:
-            tv = modops.shoup_mul(v, w, ws, p)
-            pair = (modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p))
+            pair = _bf_ct(u, v, w, ws, p, plan.lazy, s == 0)
         else:
-            diff = modops.mod_sub(u, v, p)
-            pair = (
-                modops.mod_add(u, v, p),
-                modops.shoup_mul(diff, w, ws, p),
-            )
+            pair = _bf_gs(u, v, w, ws, p, plan.lazy)
         x = jnp.stack(pair, axis=-3).reshape(*lead, n1, n2_loc)
     return x
 
@@ -96,14 +92,9 @@ def _phase2(plan, xt, lo, n1_loc, col0, inverse):
             ws[lo : lo + nl], col0, n1_loc, axis=-1
         )
         if not inverse:
-            tv = modops.shoup_mul(v, w, ws, p)
-            pair = (modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p))
+            pair = _bf_ct(u, v, w, ws, p, plan.lazy, False)
         else:
-            diff = modops.mod_sub(u, v, p)
-            pair = (
-                modops.mod_add(u, v, p),
-                modops.shoup_mul(diff, w, ws, p),
-            )
+            pair = _bf_gs(u, v, w, ws, p, plan.lazy)
         xt = jnp.stack(pair, axis=-3).reshape(*lead, n2, n1_loc)
     return xt
 
@@ -136,7 +127,11 @@ def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0):
         x1 = _phase1(plan, x_loc, lo, n2_loc, inverse=False)
         xt = _transpose_a2a(x1, axis)
         col0 = jax.lax.axis_index(axis) * n1_loc
-        return _phase2(plan, xt, lo, n1_loc, col0, inverse=False)
+        out = _phase2(plan, xt, lo, n1_loc, col0, inverse=False)
+        if plan.lazy:
+            nl = out.shape[-3]
+            out = modops.reduce_4p_full(out, plan.p[lo : lo + nl, :, None])
+        return out
 
     return body(x)
 

@@ -1,0 +1,396 @@
+"""Slot-parallel (sp) execution path: evaluator ops with the coefficient
+axis sharded across the mesh.
+
+This is the end-to-end integration of the distributed four-step NTT
+(parallel/sharded_ntt.py) into the evaluator's hot paths — dyadic
+multiply, relinearization/Galois key switching (digit lift + mod-down),
+and rescale — so a whole CKKS workload (eltwise multiply → relinearize →
+rotate) runs with every polynomial sharded over ICI.  The reference
+backend has no distributed layer at all (SURVEY.md §2.4); this module is
+the framework's sequence-parallelism analogue: slot capacity and NTT
+throughput scale with the ``sp`` mesh axis.
+
+Layout.  sp ciphertexts hold NTT-domain data in the **transposed matrix
+layout** ``[..., size, L, n2, n1]`` with the last axis (n1 = N/128)
+sharded on the ``sp`` mesh axis — exactly the layout
+``sharded_ntt.fwd`` produces and ``inv`` consumes, so round trips between
+evaluator ops never pay extra all-to-alls.  Dyadic ops are elementwise in
+any layout; only the NTT's mid-transform transpose moves data (ONE
+``all_to_all`` per transform over ICI).  Conversion to/from the flat
+``[..., size, L, N]`` single-device layout is a pure reshape+transpose
+(:func:`to_sp_layout` / :func:`from_sp_layout`).
+
+Every op here is bit-exact against the single-device Evaluator: the
+arithmetic (Karatsuba multiply, Shoup inner products, reduction-tree
+sums, divide-and-round) is performed in the identical order, and the
+sharded NTT is stage-for-stage the four-step schedule of
+``NttPlan._fwd_mat`` (tests/test_sp_eval.py asserts exact equality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict, Optional, Sequence, Tuple
+
+import functools
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.evaluator.eval import _mod_sum
+from reference_seal_backend_tpu.parallel import sharded_ntt
+from reference_seal_backend_tpu.schemes.core import Ciphertext
+from reference_seal_backend_tpu.schemes.keys import KeySet, SwitchKey
+from reference_seal_backend_tpu.schemes.params import Context
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["level", "scale"],
+)
+@dataclass(frozen=True)
+class SpCiphertext:
+    """Ciphertext in sp layout: ``data[..., size, L, n2, n1]`` uint32,
+    NTT-domain Montgomery, last axis sharded over the sp mesh axis."""
+
+    data: jnp.ndarray
+    level: int = 0
+    scale: float = 1.0
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[-4]
+
+
+def to_sp_layout(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """flat [..., N] -> transposed matrix layout [..., n2, n1]."""
+    return jnp.swapaxes(x.reshape(*x.shape[:-1], n1, n2), -1, -2)
+
+
+def from_sp_layout(t: jnp.ndarray) -> jnp.ndarray:
+    """transposed layout [..., n2, n1] -> flat [..., N]."""
+    n2, n1 = t.shape[-2], t.shape[-1]
+    return jnp.swapaxes(t, -1, -2).reshape(*t.shape[:-2], n1 * n2)
+
+
+def _c3(arr: jnp.ndarray) -> jnp.ndarray:
+    """[L, 1]-shaped per-limb constants -> [L, 1, 1] for the two trailing
+    (n2, n1) space axes of the sp layout."""
+    return arr[..., None]
+
+
+class SpEvaluator:
+    """Evaluator ops over sp-sharded ciphertexts.
+
+    Covers the op set the sharded workload path needs: add, ct-ct
+    multiply (Karatsuba), relinearize, rotate/conjugate (hoist-free Galois
+    key switch), and rescale — each the exact arithmetic of
+    evaluator/eval.py with all NTT sweeps routed through the distributed
+    four-step kernel (one all_to_all per transform).
+    """
+
+    def __init__(
+        self, ctx: Context, keys: Optional[KeySet], mesh: Mesh,
+        axis: str = "sp",
+    ):
+        self.ctx = ctx
+        self.keys = keys
+        self.mesh = mesh
+        self.axis = axis
+        self.n1 = ctx.plan.n1
+        self.n2 = ctx.plan.n2
+        if not self.n2:
+            raise ValueError("sp sharding needs the four-step layout (N >= 256)")
+        if self.n1 % mesh.shape[axis]:
+            raise ValueError("n1 must divide the sp mesh axis size")
+        self._key_cache: Dict = {}
+        self._perm_cache: Dict[int, jnp.ndarray] = {}
+
+    # -- placement ---------------------------------------------------------
+
+    def shard(self, ct: Ciphertext) -> SpCiphertext:
+        """Flat single-device ciphertext -> sp layout, placed on the mesh
+        (the 'load' step of the sharded pipeline)."""
+        t = to_sp_layout(ct.data, self.n1, self.n2)
+        spec = P(*([None] * (t.ndim - 1)), self.axis)
+        t = jax.device_put(t, NamedSharding(self.mesh, spec))
+        return SpCiphertext(data=t, level=ct.level, scale=ct.scale)
+
+    def unshard(self, ct: SpCiphertext) -> Ciphertext:
+        return Ciphertext(
+            data=from_sp_layout(ct.data),
+            level=ct.level,
+            scale=ct.scale,
+            is_ntt=True,
+        )
+
+    # -- dyadic ops ----------------------------------------------------------
+
+    def add(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
+        p = _c3(self.ctx.p[: a.level])
+        return replace(a, data=modops.mod_add(a.data, b.data, p))
+
+    def multiply(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
+        """Karatsuba ct-ct multiply, op-for-op evaluator/eval.py
+        Evaluator.multiply (bit-exact)."""
+        l = a.level
+        p = _c3(self.ctx.p[:l])
+        pni = _c3(self.ctx.p_neg_inv[:l])
+        a0, a1 = a.data[..., 0, :, :, :], a.data[..., 1, :, :, :]
+        b0, b1 = b.data[..., 0, :, :, :], b.data[..., 1, :, :, :]
+        c0 = modops.mont_mul(a0, b0, p, pni)
+        c2 = modops.mont_mul(a1, b1, p, pni)
+        z = modops.mont_mul(
+            modops.mod_add(a0, a1, p), modops.mod_add(b0, b1, p), p, pni
+        )
+        cross = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
+        data = jnp.stack([c0, cross, c2], axis=-4)
+        return replace(a, data=data, scale=a.scale * b.scale)
+
+    # -- key switching ---------------------------------------------------------
+
+    def _targets3(self, l: int):
+        ctx = self.ctx
+        sp = ctx.sp_row
+        cat = lambda arr: jnp.concatenate([arr[:l], arr[sp : sp + 1]], axis=0)
+        return _c3(cat(ctx.p)), _c3(cat(ctx.mu))
+
+    def _digits(self, d: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Key-switch digit decomposition + cross-limb lift + per-target
+        forward NTT, all transforms distributed.  ``d`` [..., l, n2, n1]
+        NTT Montgomery -> [..., l, l+1, n2, n1] normal form."""
+        ctx, mesh, ax = self.ctx, self.mesh, self.axis
+        plan = ctx.plan
+        d_mat = sharded_ntt.inv(plan, d, mesh, ax, lo=0)  # [..., l, n1, n2]
+        d_norm = modops.from_mont(
+            d_mat, _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
+        )
+        p_t, mu_t = self._targets3(l)
+        lifted = modops.barrett_reduce_u32(
+            d_norm[..., :, None, :, :], p_t, mu_t
+        )  # [..., l_src, l+1, n1, n2]
+        data_part = sharded_ntt.fwd(plan, lifted[..., :l, :, :], mesh, ax, lo=0)
+        sp_part = sharded_ntt.fwd(
+            plan, lifted[..., l:, :, :], mesh, ax, lo=ctx.sp_row
+        )
+        return jnp.concatenate([data_part, sp_part], axis=-3)
+
+    def _mod_down(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
+        """[..., l+1, n2, n1] NTT Mont -> [..., l, n2, n1] Montgomery form
+        of round(x / P) — evaluator/eval.py _mod_down_special, NTTs
+        distributed."""
+        ctx, mesh, ax = self.ctx, self.mesh, self.axis
+        sp = ctx.sp_row
+        v_mat = sharded_ntt.inv(plan := ctx.plan, x[..., l:, :, :], mesh, ax, lo=sp)
+        v = modops.from_mont(
+            v_mat, _c3(ctx.p[sp : sp + 1]), _c3(ctx.p_neg_inv[sp : sp + 1])
+        )  # [..., 1, n1, n2] in [0, P)
+        flag = (v > ctx.div_half[sp]).astype(jnp.uint32)
+        w = modops.mod_sub(
+            modops.barrett_reduce_u32(v, _c3(ctx.p[:l]), _c3(ctx.mu[:l])),
+            flag * ctx.div_mod[sp, :l][:, None, None],
+            _c3(ctx.p[:l]),
+        )
+        w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0)  # [..., l, n2, n1]
+        p = _c3(ctx.p[:l])
+        sel = lambda t: t[sp, :l][:, None, None]
+        return modops.mod_sub(
+            modops.shoup_mul(
+                x[..., :l, :, :],
+                sel(ctx.div_inv),
+                sel(ctx.div_inv_shoup),
+                p,
+            ),
+            modops.shoup_mul(
+                w_ntt,
+                sel(ctx.div_inv_mont),
+                sel(ctx.div_inv_mont_shoup),
+                p,
+            ),
+            p,
+        )
+
+    def _key_t(self, key: SwitchKey, l: int):
+        """Switch-key slices in sp layout (host-side one-time): the cat2
+        selection of evaluator/eval.py key_switch, reshaped/transposed to
+        [l, l+1, n2, n1]."""
+        ck = (id(key), l)
+        if ck not in self._key_cache:
+            sp = self.ctx.sp_row
+            n1, n2 = self.n1, self.n2
+
+            def prep(arr):
+                a = np.asarray(arr)
+                a = np.concatenate([a[:l, :l], a[:l, sp : sp + 1]], axis=1)
+                a = a.reshape(l, l + 1, n1, n2).swapaxes(-1, -2)
+                return jnp.asarray(np.ascontiguousarray(a))
+
+            self._key_cache[ck] = (
+                prep(key.b), prep(key.a), prep(key.bs), prep(key.as_)
+            )
+        return self._key_cache[ck]
+
+    def key_switch(
+        self, d: jnp.ndarray, key: SwitchKey, level: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Switch sp-layout component ``d`` [..., l, n2, n1] to the base
+        key; returns (kb, ka) each [..., l, n2, n1] NTT Montgomery."""
+        l = level
+        p_t, _ = self._targets3(l)
+        dig = self._digits(d, l)  # [..., l, l+1, n2, n1]
+        kb, ka, kbs, kas = self._key_t(key, l)
+        tb = modops.shoup_mul(dig, kb, kbs, p_t)
+        ta = modops.shoup_mul(dig, ka, kas, p_t)
+        acc_b = _mod_sum(tb, p_t, axis=-4)
+        acc_a = _mod_sum(ta, p_t, axis=-4)
+        return self._mod_down(acc_b, l), self._mod_down(acc_a, l)
+
+    def relinearize(self, a: SpCiphertext) -> SpCiphertext:
+        if a.size == 2:
+            return a
+        if self.keys is None or self.keys.relin is None:
+            raise ValueError("no relinearization key")
+        l = a.level
+        p = _c3(self.ctx.p[:l])
+        kb, ka = self.key_switch(a.data[..., 2, :, :, :], self.keys.relin, l)
+        c0 = modops.mod_add(a.data[..., 0, :, :, :], kb, p)
+        c1 = modops.mod_add(a.data[..., 1, :, :, :], ka, p)
+        return replace(a, data=jnp.stack([c0, c1], axis=-4))
+
+    # -- Galois / rotations ----------------------------------------------------
+
+    def _galois_perm_t(self, g: int) -> jnp.ndarray:
+        """The NTT-storage Galois permutation recomposed for the sp
+        layout's flattened (n2, n1) order: T ∘ perm ∘ T⁻¹ with T the
+        matrix-transpose index map."""
+        if g not in self._perm_cache:
+            n1, n2 = self.n1, self.n2
+            perm = np.asarray(self.ctx.plan.galois_perm(g))
+            k = np.arange(n1 * n2)
+            jof = (k % n1) * n2 + k // n1      # sp index -> flat index
+            src_flat = perm[jof]               # source flat index
+            perm_t = (src_flat % n2) * n1 + src_flat // n2
+            with jax.ensure_compile_time_eval():
+                self._perm_cache[g] = jnp.asarray(perm_t.astype(np.int32))
+        return self._perm_cache[g]
+
+    def apply_galois(self, a: SpCiphertext, g: int) -> SpCiphertext:
+        if self.keys is None or (g % (2 * self.ctx.n)) not in self.keys.galois:
+            raise ValueError(f"missing Galois key for element {g}")
+        if a.size != 2:
+            raise ValueError("relinearize before rotating")
+        g = g % (2 * self.ctx.n)
+        l = a.level
+        p = _c3(self.ctx.p[:l])
+        perm_t = self._galois_perm_t(g)
+        lead = a.data.shape[:-2]
+        flat = a.data.reshape(*lead, self.n1 * self.n2)
+        permuted = jnp.take(flat, perm_t, axis=-1).reshape(a.data.shape)
+        kb, ka = self.key_switch(
+            permuted[..., 1, :, :, :], self.keys.galois[g], l
+        )
+        c0 = modops.mod_add(permuted[..., 0, :, :, :], kb, p)
+        return replace(a, data=jnp.stack([c0, ka], axis=-4))
+
+    def rotate(self, a: SpCiphertext, steps: int) -> SpCiphertext:
+        n = self.ctx.n
+        steps = steps % (n // 2)
+        if steps == 0:
+            return a
+        return self.apply_galois(a, pow(5, steps, 2 * n))
+
+    def conjugate(self, a: SpCiphertext) -> SpCiphertext:
+        return self.apply_galois(a, 2 * self.ctx.n - 1)
+
+    # -- level / scale -----------------------------------------------------------
+
+    def rescale_to_next(self, a: SpCiphertext) -> SpCiphertext:
+        """Composite rescale (evaluator/eval.py rescale_to_next) with the
+        drop-prime iNTT / re-NTT sweeps distributed."""
+        ctx, mesh, ax = self.ctx, self.mesh, self.axis
+        group = getattr(ctx, "rescale_group", 1)
+        l = a.level
+        if l - group < getattr(ctx, "min_level", 1):
+            raise ValueError("no prime group left to rescale")
+        data = a.data
+        scale = a.scale
+        for _ in range(group):
+            drop = l - 1
+            v_mat = sharded_ntt.inv(
+                ctx.plan, data[..., drop:l, :, :], mesh, ax, lo=drop
+            )
+            v = modops.from_mont(
+                v_mat,
+                _c3(ctx.p[drop : drop + 1]),
+                _c3(ctx.p_neg_inv[drop : drop + 1]),
+            )
+            flag = (v > ctx.div_half[drop]).astype(jnp.uint32)
+            w = modops.mod_sub(
+                modops.barrett_reduce_u32(
+                    v, _c3(ctx.p[:drop]), _c3(ctx.mu[:drop])
+                ),
+                flag * ctx.div_mod[drop, :drop][:, None, None],
+                _c3(ctx.p[:drop]),
+            )
+            w_ntt = sharded_ntt.fwd(ctx.plan, w, mesh, ax, lo=0)
+            p = _c3(ctx.p[:drop])
+            sel = lambda t: t[drop, :drop][:, None, None]
+            data = modops.mod_sub(
+                modops.shoup_mul(
+                    data[..., :drop, :, :],
+                    sel(ctx.div_inv),
+                    sel(ctx.div_inv_shoup),
+                    p,
+                ),
+                modops.shoup_mul(
+                    w_ntt,
+                    sel(ctx.div_inv_mont),
+                    sel(ctx.div_inv_mont_shoup),
+                    p,
+                ),
+                p,
+            )
+            l -= 1
+            scale /= ctx.data_primes[l]
+        return replace(a, data=data, level=l, scale=scale)
+
+
+# -- observability -------------------------------------------------------------
+
+_COLLECTIVES = ("all-to-all", "all-gather", "collective-permute", "all-reduce")
+
+
+def collective_stats(jitted, *args) -> Dict[str, int]:
+    """Compile a jitted function and count the collective ops XLA emitted —
+    the measurable stand-in for cross-chip traffic when only virtual
+    devices are available (VERDICT r1 item 4).  Returns op counts plus
+    ``a2a_bytes``: total bytes crossing the all-to-alls (from their HLO
+    result shapes)."""
+    txt = jitted.lower(*args).compile().as_text()
+    stats = {name: 0 for name in _COLLECTIVES}
+    a2a_bytes = 0
+    # HLO op lines look like
+    #   %all-to-all.3 = (u32[7,16,2]{…}, u32[7,16,2]{…}, …) all-to-all(…)
+    # count applications (not get-tuple-element references) and sum the
+    # result-shape payload of the all-to-alls.
+    for line in txt.splitlines():
+        m = re.search(
+            r"= (.*?)\b(all-to-all|all-gather|collective-permute|all-reduce)"
+            r"(?:-start)?(?:\.\d+)?\(",
+            line,
+        )
+        if not m:
+            continue
+        stats[m.group(2)] += 1
+        if m.group(2) == "all-to-all":
+            for s in re.findall(r"u32\[([\d,]+)\]", m.group(1)):
+                a2a_bytes += 4 * int(
+                    np.prod([int(d) for d in s.split(",")])
+                )
+    stats["a2a_bytes"] = a2a_bytes
+    return stats

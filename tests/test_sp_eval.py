@@ -1,0 +1,90 @@
+"""sp-sharded evaluator: a CKKS workload (eltwise multiply → relinearize →
+rotate → rescale) executed with the coefficient axis sharded over an
+8-device mesh must be BIT-EXACT against the single-device Evaluator.
+
+This is the end-to-end integration of the distributed NTT into the
+key-switch path (VERDICT r1 item 4): the digit lift, the key inner
+product, the mod-down and the rescale all run their transforms through
+parallel/sharded_ntt.py under shard_map."""
+
+import numpy as np
+import pytest
+import jax
+
+from reference_seal_backend_tpu.evaluator.eval import Evaluator
+from reference_seal_backend_tpu.parallel import mesh as mesh_mod
+from reference_seal_backend_tpu.parallel import sp_eval
+from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
+from reference_seal_backend_tpu.schemes.params import make_ckks_context
+
+N = 2048
+STEP = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
+    ks = keys_mod.keygen(
+        ctx, seed=11, galois_elts=[pow(5, STEP, 2 * ctx.n)], need_relin=True
+    )
+    enc = ckks.CkksEncoder(ctx)
+    encryptor = ckks.CkksEncryptor(ctx, ks, seed=21)
+    rng = np.random.default_rng(3)
+    a = encryptor.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+    b = encryptor.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+    ev = Evaluator(ctx, ks)
+    mesh = mesh_mod.make_mesh(8, ("sp",), shape=(8,))
+    spe = sp_eval.SpEvaluator(ctx, ks, mesh)
+    return ctx, ks, ev, spe, a, b
+
+
+def test_layout_roundtrip(setup):
+    ctx, ks, ev, spe, a, b = setup
+    sp = spe.shard(a)
+    back = spe.unshard(sp)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(a.data))
+
+
+def test_sp_multiply_bit_exact(setup):
+    ctx, ks, ev, spe, a, b = setup
+    want = ev.multiply(a, b)
+    got = spe.unshard(jax.jit(spe.multiply)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.scale == want.scale and got.level == want.level
+
+
+def test_sp_workload_mult_relin_rotate_rescale_bit_exact(setup):
+    """The full sharded workload: multiply → relinearize (key switch) →
+    rotate (Galois key switch) → rescale, bit-exact vs single-device."""
+    ctx, ks, ev, spe, a, b = setup
+    want = ev.rescale_to_next(
+        ev.rotate(ev.relinearize(ev.multiply(a, b)), STEP)
+    )
+
+    def pipeline(x, y):
+        return spe.rescale_to_next(
+            spe.rotate(spe.relinearize(spe.multiply(x, y)), STEP)
+        )
+
+    got = spe.unshard(jax.jit(pipeline)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.level == want.level
+    assert abs(got.scale - want.scale) < 1e-6 * want.scale
+
+
+def test_sp_collectives_counted(setup):
+    """The compiled sharded pipeline must actually communicate: at least
+    one all-to-all per NTT phase transition, with measured payload bytes
+    (the virtual-mesh stand-in for real scaling traffic)."""
+    ctx, ks, ev, spe, a, b = setup
+
+    def pipeline(x, y):
+        return spe.relinearize(spe.multiply(x, y))
+
+    stats = sp_eval.collective_stats(
+        jax.jit(pipeline), spe.shard(a), spe.shard(b)
+    )
+    assert stats["all-to-all"] >= 3  # digit-lift inv + 2 fwd + mod-down
+    assert stats["a2a_bytes"] > 0
