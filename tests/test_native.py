@@ -67,6 +67,23 @@ def test_harness_end_to_end(built):
     assert r.returncode == 0
 
 
+def test_harness_full_registry(built):
+    """Every one of the 20 registered benchmarks crosses the C ABI —
+    BFV exact-integer compares, matmult packings and logreg included —
+    like the reference harness driving every registered descriptor
+    (/root/reference README.md:103-105)."""
+    r = subprocess.run(
+        [HARNESS, "--all", "--poly", "2048"],
+        env=_env(),
+        capture_output=True,
+        text=True,
+        timeout=2700,
+    )
+    assert "[ Info    ] Total: 20" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert "[ Info    ] Failed: 0" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert r.returncode == 0
+
+
 def test_harness_error_surface(built):
     r = subprocess.run(
         [HARNESS, "--poly", "2048", "no_such_benchmark"],
