@@ -74,6 +74,36 @@ def shoup_mul(x, w, ws, p):
     return r - (r >= p).astype(U32) * p
 
 
+def shoup_mul_lazy(x, w, ws, p):
+    """Shoup product WITHOUT the final conditional correction: result in
+    [0, 2p) for ANY uint32 x (same error analysis as :func:`shoup_mul` —
+    q = umulhi(x, ws) undershoots floor(x·w/p) by < 2).
+
+    Used by the Harvey lazy-reduction NTT butterflies (ops/ntt.py): with
+    p < 2**30 butterfly values stay in [0, 4p) ⊂ uint32 across stages, so
+    each butterfly drops one compare+select from the twiddle multiply and
+    replaces the modular add/sub with plain adds — ~12%% of the butterfly
+    op count on an int-op-bound kernel (Harvey, "Faster arithmetic for
+    number-theoretic transforms", J. Symb. Comput. 60, 2014; SEAL/HEXL
+    use the same trick with 64-bit lanes).
+    """
+    q = umulhi32(x, ws)
+    return x * w - q * p
+
+
+def reduce_2p(x, p2):
+    """Conditional subtract of 2p: [0, 4p) -> [0, 2p).  ``p2 = p + p``."""
+    return x - (x >= p2).astype(U32) * p2
+
+
+def reduce_4p_full(x, p):
+    """Full reduction [0, 4p) -> [0, p): two conditional subtracts (the
+    one-time epilogue of a lazy forward NTT)."""
+    p2 = p + p
+    x = x - (x >= p2).astype(U32) * p2
+    return x - (x >= p).astype(U32) * p
+
+
 def mod_add(a, b, p):
     """(a + b) mod p for a, b in [0, p), p < 2**31 — sum fits uint32."""
     s = a + b

@@ -48,6 +48,42 @@ from reference_seal_backend_tpu.nums.polyref import _bitrev
 from reference_seal_backend_tpu.ops import modops
 
 
+def _bf_ct(u, v, w, ws, p, lazy: bool, first: bool):
+    """Cooley-Tukey butterfly pair (u + w·v, u − w·v).
+
+    ``lazy`` (Harvey 2014, requires every prime < 2**30): values ride in
+    [0, 4p) across stages — the u input is conditionally reduced to
+    [0, 2p) (skipped on the first stage, whose inputs are canonical), the
+    twiddle product keeps its [0, 2p) lazy form, and the pair is formed
+    with plain adds.  Saves one compare+select in the multiply and the
+    corrections of the modular add/sub (~12% of butterfly ops).  The
+    caller fully reduces once after the last stage
+    (modops.reduce_4p_full)."""
+    if lazy:
+        p2 = p + p
+        ur = u if first else modops.reduce_2p(u, p2)
+        t = modops.shoup_mul_lazy(v, w, ws, p)
+        return ur + t, ur - t + p2
+    t = modops.shoup_mul(v, w, ws, p)
+    return modops.mod_add(u, t, p), modops.mod_sub(u, t, p)
+
+
+def _bf_gs(u, v, w, ws, p, lazy: bool):
+    """Gentleman-Sande inverse butterfly pair (u + v, w·(u − v)).
+
+    Lazy form maintains the [0, 2p) invariant stage to stage; the
+    final N^{-1} multiply (a fully-reducing shoup_mul, exact for any
+    uint32 input) restores canonical form for free."""
+    if lazy:
+        p2 = p + p
+        return (
+            modops.reduce_2p(u + v, p2),
+            modops.shoup_mul_lazy(u - v + p2, w, ws, p),
+        )
+    diff = modops.mod_sub(u, v, p)
+    return modops.mod_add(u, v, p), modops.shoup_mul(diff, w, ws, p)
+
+
 def _pallas_enabled() -> bool:
     """Use the fused Pallas NTT kernel?  RSB_TPU_PALLAS=on|off (default
     off).  Measured on a v5p chip the XLA four-step path is currently
@@ -79,6 +115,11 @@ class NttPlan:
     n2: int = 0
     fwd_tw2: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...] = ()
     inv_tw2: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...] = ()
+    # Harvey lazy reduction (values in [0,4p) across stages): valid only
+    # when every prime is below 2**30 — make_plan turns it on exactly
+    # then, so plans over legacy 31-bit primes keep the fully-reduced
+    # butterflies and stay correct.  Outputs are identical either way.
+    lazy: bool = False
     # Lane-expanded twiddles for the fused Pallas kernel
     # (ops/pallas/ntt_kernel.py): phase-1 [L, s1, n1/2, n2] — stage s plane
     # (g*tr + jr, lane) = w_g; phase-2 [L, bits-s1, n2/2, n1] — stage plane
@@ -128,14 +169,14 @@ class NttPlan:
             u = xv[..., 0, :]
             v = xv[..., 1, :]
             w, ws = self.fwd_tw[s]
-            tv = modops.shoup_mul(
-                v, w[lo : lo + nl], ws[lo : lo + nl], p
+            a, b = _bf_ct(
+                u, v, w[lo : lo + nl], ws[lo : lo + nl], p,
+                self.lazy, s == 0,
             )
-            x = jnp.stack(
-                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
-                axis=-2,
-            ).reshape(*lead, n)
+            x = jnp.stack([a, b], axis=-2).reshape(*lead, n)
             m, t = m * 2, t // 2
+        if self.lazy:
+            x = modops.reduce_4p_full(x, self.p[lo : lo + nl])
         return x
 
     def _fwd_mat(self, x: jnp.ndarray, lo: int) -> jnp.ndarray:
@@ -153,16 +194,13 @@ class NttPlan:
             u = xv[..., 0, :, :]
             v = xv[..., 1, :, :]
             w, ws = self.fwd_tw[s]
-            tv = modops.shoup_mul(
-                v,
+            a, b = _bf_ct(
+                u, v,
                 w[lo : lo + nl][..., None],
                 ws[lo : lo + nl][..., None],
-                p,
+                p, self.lazy, s == 0,
             )
-            x = jnp.stack(
-                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
-                axis=-3,
-            ).reshape(*lead, n1, n2)
+            x = jnp.stack([a, b], axis=-3).reshape(*lead, n1, n2)
         xt = jnp.swapaxes(x, -1, -2)  # [..., n2, n1]
         for s in range(s1, bits):
             t = n >> (s + 1)
@@ -171,13 +209,13 @@ class NttPlan:
             u = xv[..., 0, :, :]
             v = xv[..., 1, :, :]
             w, ws = self.fwd_tw2[s - s1]
-            tv = modops.shoup_mul(
-                v, w[lo : lo + nl], ws[lo : lo + nl], p
+            a, b = _bf_ct(
+                u, v, w[lo : lo + nl], ws[lo : lo + nl], p,
+                self.lazy, False,
             )
-            xt = jnp.stack(
-                [modops.mod_add(u, tv, p), modops.mod_sub(u, tv, p)],
-                axis=-3,
-            ).reshape(*lead, n2, n1)
+            xt = jnp.stack([a, b], axis=-3).reshape(*lead, n2, n1)
+        if self.lazy:
+            xt = modops.reduce_4p_full(xt, self.p[lo : lo + nl, :, None])
         return jnp.swapaxes(xt, -1, -2).reshape(*lead, n)
 
     def inv(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
@@ -198,18 +236,14 @@ class NttPlan:
             u = xv[..., 0, :]
             v = xv[..., 1, :]
             w, ws = self.inv_tw[s]
-            diff = modops.mod_sub(u, v, p)
-            x = jnp.stack(
-                [
-                    modops.mod_add(u, v, p),
-                    modops.shoup_mul(
-                        diff, w[lo : lo + nl], ws[lo : lo + nl], p
-                    ),
-                ],
-                axis=-2,
-            ).reshape(*lead, n)
+            a, b = _bf_gs(
+                u, v, w[lo : lo + nl], ws[lo : lo + nl], p, self.lazy
+            )
+            x = jnp.stack([a, b], axis=-2).reshape(*lead, n)
             m, t = m // 2, t * 2
         nw, nws = self.n_inv
+        # fully-reducing shoup_mul (exact for any uint32 input) restores
+        # canonical form, so the lazy path needs no extra epilogue here.
         return modops.shoup_mul(
             x,
             nw[lo : lo + nl],
@@ -232,16 +266,10 @@ class NttPlan:
             u = xv[..., 0, :, :]
             v = xv[..., 1, :, :]
             w, ws = self.inv_tw2[s - s1]
-            diff = modops.mod_sub(u, v, p)
-            xt = jnp.stack(
-                [
-                    modops.mod_add(u, v, p),
-                    modops.shoup_mul(
-                        diff, w[lo : lo + nl], ws[lo : lo + nl], p
-                    ),
-                ],
-                axis=-3,
-            ).reshape(*lead, n2, n1)
+            a, b = _bf_gs(
+                u, v, w[lo : lo + nl], ws[lo : lo + nl], p, self.lazy
+            )
+            xt = jnp.stack([a, b], axis=-3).reshape(*lead, n2, n1)
         x = jnp.swapaxes(xt, -1, -2)  # [..., n1, n2]
         for s in range(s1 - 1, -1, -1):
             m = 1 << s
@@ -250,19 +278,13 @@ class NttPlan:
             u = xv[..., 0, :, :]
             v = xv[..., 1, :, :]
             w, ws = self.inv_tw[s]
-            diff = modops.mod_sub(u, v, p)
-            x = jnp.stack(
-                [
-                    modops.mod_add(u, v, p),
-                    modops.shoup_mul(
-                        diff,
-                        w[lo : lo + nl][..., None],
-                        ws[lo : lo + nl][..., None],
-                        p,
-                    ),
-                ],
-                axis=-3,
-            ).reshape(*lead, n1, n2)
+            a, b = _bf_gs(
+                u, v,
+                w[lo : lo + nl][..., None],
+                ws[lo : lo + nl][..., None],
+                p, self.lazy,
+            )
+            x = jnp.stack([a, b], axis=-3).reshape(*lead, n1, n2)
         nw, nws = self.n_inv
         return modops.shoup_mul(
             x.reshape(*lead, n),
@@ -402,6 +424,7 @@ def make_plan(n: int, primes: Tuple[int, ...]) -> NttPlan:
         n2=n2,
         fwd_tw2=tuple(fwd2),
         inv_tw2=tuple(inv2),
+        lazy=all(p < 2**30 for p in primes),
         pk1_fwd=pk1_fwd,
         pk1_inv=pk1_inv,
         pk2_fwd=pk2_fwd,
