@@ -1,24 +1,38 @@
-"""Headline benchmark: CKKS ct-ct multiplies/sec/chip at N=16384.
+"""Chip benchmark suite: key-switch-inclusive metrics with correctness gates.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints ONE JSON line (driver contract):
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": {...}}
 
-The metric follows BASELINE.json: throughput of ciphertext-ciphertext
-CKKS multiplies (the reference's eltwise-mult hot op — a bare
+The headline metric follows BASELINE.json: throughput of ciphertext-
+ciphertext CKKS multiplies (the reference's eltwise-mult hot op — a bare
 ``evaluator->multiply``, /root/reference
 src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343) at
-poly_modulus_degree 16384 on one chip.  ``vs_baseline`` is measured
-against SEAL's single-core throughput for the same op (no number is
-published by the reference repo — BASELINE.md documents the absence — so
-we use a fixed estimate of SEAL v3.7 single-thread ct-ct multiply at
-N=16384, L=6: ~150 ops/s, i.e. ~6.7 ms/op, consistent with published
-SEAL/HEXL microbenchmarks).  The BASELINE.json target is 100x.
+poly_modulus_degree 16384 on one chip.
+
+``extras`` carries the full suite (VERDICT r1 item 1): every key-switch-
+bound op the other workloads ride on — multiply+relinearize+rescale,
+rotate (Galois key switch), the hoisted 8-rotation sum, the BFV BEHZ
+multiply, and the end-to-end CKKS logreg latency at N=16384 (plus the
+staged-config-5 N=32768 run) — each behind its own correctness gate so a
+silently-wrong kernel can never record a score.  The same suite is
+written to ``bench_suite.json`` and scripts/gen_perf_table.py regenerates
+README.md's performance table from it (numbers are generated, never
+hand-typed).
+
+``vs_baseline`` is measured against SEAL's single-core throughput for the
+headline op.  No number is published by the reference repo and SEAL
+cannot be built here (zero egress) — BASELINE.md §"SEAL baseline
+measurement attempt" documents the estimate's provenance: vanilla SEAL
+single-thread ct-ct multiply at N=16384 ≈ 150 ops/s (~6.7 ms/op),
+consistent with published SEAL/HEXL microbenchmarks.  The BASELINE.json
+target is 100x.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from dataclasses import replace
 
 import numpy as np
 
@@ -30,78 +44,210 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from reference_seal_backend_tpu.evaluator.eval import Evaluator  # noqa: E402
-from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod  # noqa: E402
-from reference_seal_backend_tpu.schemes.params import make_ckks_context  # noqa: E402
+from reference_seal_backend_tpu.schemes import bfv, ckks, keys as keys_mod  # noqa: E402
+from reference_seal_backend_tpu.schemes.params import (  # noqa: E402
+    make_bfv_context,
+    make_ckks_context,
+)
 
-SEAL_SINGLE_CORE_MULTS_PER_SEC = 150.0  # documented estimate, see module doc
+SEAL_SINGLE_CORE_MULTS_PER_SEC = 150.0  # documented estimate, BASELINE.md
 
 N = 16384
-BATCH = 64
+BATCH = 64      # dyadic-op batch
+BATCH_KS = 8    # key-switch-op batch (digit tensors are L^2-sized)
+EPS = 5e-5      # the reference's CKKS decode epsilon
+RUN_32K = True  # staged config 5 (BASELINE.md:37)
 
 
-def main() -> None:
-    dev = jax.devices()[0]
-    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
-    ks = keys_mod.keygen(ctx, seed=1234, galois_elts=(), need_relin=False)
-    enc = ckks.CkksEncoder(ctx)
-    encryptor = ckks.CkksEncryptor(ctx, ks)
-    ev = Evaluator(ctx, ks)
-
-    rng = np.random.default_rng(1234)
-    from dataclasses import replace
-
-    cts = []
-    for _ in range(2):
-        pt = enc.encode(rng.uniform(-1, 1, ctx.slots))
-        cts.append(encryptor.encrypt_pt(pt))
-    # batch of B independent operand pairs, like an Offline eltwise batch
-    a = replace(cts[0], data=jnp.broadcast_to(
-        cts[0].data, (BATCH,) + cts[0].data.shape))
-    b = replace(cts[1], data=jnp.broadcast_to(
-        cts[1].data, (BATCH,) + cts[1].data.shape))
-    a = replace(a, data=jax.device_put(a.data, dev))
-    b = replace(b, data=jax.device_put(b.data, dev))
-
-    mult = jax.jit(ev.multiply)
-    out = mult(a, b)
-    jax.block_until_ready(out.data)  # compile + warmup
-
-    # Correctness gate before timing: a silently-wrong kernel must never
-    # record a score.  Decrypt one product (3-component, pre-relin) and
-    # compare against the cleartext slotwise product.
-    decryptor = ckks.CkksDecryptor(ctx, ks)
-    got = np.real(
-        decryptor.decrypt(replace(out, data=out.data[0]))
-    )
-    want = np.real(
-        np.asarray(decryptor.decrypt(cts[0]))
-        * np.asarray(decryptor.decrypt(cts[1]))
-    )
-    err = float(np.max(np.abs(got - want)))
-    if not err < 5e-5:  # the reference's CKKS decode epsilon
-        raise SystemExit(f"bench correctness gate failed: max err {err}")
-
+def _throughput(fn, out_of, *args, min_s: float = 2.0, min_iters: int = 5):
+    """ops/sec of fn(*args), blocking on the returned pytree."""
+    out = fn(*args)
+    jax.block_until_ready(out_of(out))  # compile + warmup
     iters = 0
     t0 = time.perf_counter()
     while True:
-        out = mult(a, b)
+        out = fn(*args)
         iters += 1
-        if iters >= 5 and (time.perf_counter() - t0) > 2.0:
+        if iters >= min_iters and (time.perf_counter() - t0) > min_s:
             break
-    jax.block_until_ready(out.data)
-    dt = time.perf_counter() - t0
-    value = BATCH * iters / dt
+    jax.block_until_ready(out_of(out))
+    return iters / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ckks_ctct_mults_per_sec_n16384",
-                "value": round(value, 1),
-                "unit": "ops/s",
-                "vs_baseline": round(value / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2),
-            }
-        )
+
+def _latency_ms(fn, out_of, *args, reps: int = 10):
+    """median per-call latency of fn(*args), ms."""
+    jax.block_until_ready(out_of(fn(*args)))  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(out_of(fn(*args)))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def _gate(name: str, got, want, tol: float):
+    err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+    if not err <= tol:
+        raise SystemExit(f"bench correctness gate failed [{name}]: max err {err}")
+
+
+def _broadcast(ct, batch):
+    return replace(ct, data=jnp.broadcast_to(ct.data, (batch,) + ct.data.shape))
+
+
+def ckks_suite(extras):
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
+    ks = keys_mod.keygen(
+        ctx, seed=1234, galois_elts=(pow(5, 1, 2 * ctx.n),)
+        + tuple(pow(5, s, 2 * ctx.n) for s in range(2, 8)),
+        need_relin=True,
     )
+    enc = ckks.CkksEncoder(ctx)
+    encryptor = ckks.CkksEncryptor(ctx, ks, seed=1234)
+    decryptor = ckks.CkksDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    rng = np.random.default_rng(1234)
+    va = rng.uniform(-1, 1, ctx.slots)
+    vb = rng.uniform(-1, 1, ctx.slots)
+    ca = encryptor.encrypt_pt(enc.encode(va))
+    cb = encryptor.encrypt_pt(enc.encode(vb))
+
+    # 1) headline: bare ct-ct multiply (the reference eltwise-mult op)
+    a64, b64 = _broadcast(ca, BATCH), _broadcast(cb, BATCH)
+    mult = jax.jit(ev.multiply)
+    out = mult(a64, b64)
+    _gate(
+        "ctct_mult",
+        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
+        va * vb,
+        EPS,
+    )
+    headline = BATCH * _throughput(mult, lambda o: o.data, a64, b64)
+
+    # 2) multiply + relinearize + rescale (the workload multiply path)
+    a8, b8 = _broadcast(ca, BATCH_KS), _broadcast(cb, BATCH_KS)
+    mrr = jax.jit(
+        lambda x, y: ev.rescale_to_next(ev.relinearize(ev.multiply(x, y)))
+    )
+    out = mrr(a8, b8)
+    _gate(
+        "mult_relin_rescale",
+        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
+        va * vb,
+        5e-4,
+    )
+    extras["ckks_mult_relin_rescale_per_sec_n16384"] = round(
+        BATCH_KS * _throughput(mrr, lambda o: o.data, a8, b8), 1
+    )
+
+    # 3) rotate by 1 (Galois key switch)
+    rot = jax.jit(lambda x: ev.rotate(x, 1))
+    out = rot(a8)
+    _gate(
+        "rotate",
+        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
+        np.roll(va, -1),
+        5e-4,
+    )
+    extras["ckks_rotate_per_sec_n16384"] = round(
+        BATCH_KS * _throughput(rot, lambda o: o.data, a8), 1
+    )
+
+    # 4) hoisted 8-rotation sum (MatMultRow / small-count accumulate path)
+    steps = list(range(8))
+    rsum = jax.jit(lambda x: ev.rotate_sum(x, steps))
+    out = rsum(a8)
+    want = np.zeros(ctx.slots)
+    for s in steps:
+        want += np.roll(va, -s)
+    _gate(
+        "rotate_sum8",
+        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
+        want,
+        5e-4 * len(steps),
+    )
+    extras["ckks_rotate_sum8_per_sec_n16384"] = round(
+        BATCH_KS * _throughput(rsum, lambda o: o.data, a8), 1
+    )
+    return headline
+
+
+def bfv_suite(extras):
+    ctx = make_bfv_context(poly_modulus_degree=8192)
+    ks = keys_mod.keygen(ctx, seed=1234, need_relin=False)
+    enc = bfv.BfvBatchEncoder(ctx)
+    encryptor = bfv.BfvEncryptor(ctx, ks, seed=1234)
+    decryptor = bfv.BfvDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    rng = np.random.default_rng(1234)
+    ia = rng.integers(-50, 50, ctx.slots)
+    ib = rng.integers(-50, 50, ctx.slots)
+    ca = encryptor.encrypt_pt(enc.encode(ia))
+    cb = encryptor.encrypt_pt(enc.encode(ib))
+    a, b = _broadcast(ca, BATCH_KS), _broadcast(cb, BATCH_KS)
+    mult = jax.jit(ev.multiply)
+    out = mult(a, b)
+    _gate(
+        "bfv_behz_mult",
+        decryptor.decrypt(replace(out, data=out.data[0])),
+        ia * ib,
+        0,
+    )
+    extras["bfv_behz_mult_per_sec_n8192"] = round(
+        BATCH_KS * _throughput(mult, lambda o: o.data, a, b), 1
+    )
+
+
+def logreg_latency(extras, poly: int, key: str):
+    from reference_seal_backend_tpu.engine.descriptor import (
+        Category,
+        Workload,
+    )
+    from reference_seal_backend_tpu.engine.registry import Engine
+
+    engine = Engine()
+    desc = next(
+        d
+        for d in engine.descriptors
+        if d.workload is Workload.LOGREG_POLY_D3
+        and d.category is Category.LATENCY
+    )
+    bench = engine.create_benchmark(desc, {"poly_modulus_degree": poly})
+    n = bench.params["n"]
+    rng = np.random.default_rng(1234)
+    w = rng.uniform(-1, 1, n)
+    b = float(rng.uniform(-1, 1))
+    x = rng.uniform(-1, 1, (1, n))
+    h = bench.load(bench.encrypt(bench.encode([w, b, x])))
+    (got,) = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+    z = x @ w + b
+    _gate(key, got, 0.5 + 0.15012 * z - 0.0015930078125 * z**3, 5e-4)
+    extras[key] = round(
+        _latency_ms(
+            lambda: bench.block(bench.operate(h)), lambda o: 0, reps=5
+        ),
+        2,
+    )
+
+
+def main() -> None:
+    extras: dict = {}
+    headline = ckks_suite(extras)
+    bfv_suite(extras)
+    logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms")
+    if RUN_32K:
+        logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms")
+
+    result = {
+        "metric": "ckks_ctct_mults_per_sec_n16384",
+        "value": round(headline, 1),
+        "unit": "ops/s",
+        "vs_baseline": round(headline / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2),
+        "extras": extras,
+    }
+    with open("bench_suite.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
