@@ -86,11 +86,17 @@ def _bf_gs(u, v, w, ws, p, lazy: bool):
 
 def _pallas_enabled() -> bool:
     """Use the fused Pallas NTT kernel?  RSB_TPU_PALLAS=on|off (default
-    off).  Measured on a v5p chip the XLA four-step path is currently
-    *faster* (1.9 vs 3.3 us/row at N=16384×7 limbs — Mosaic relayouts on
-    the 5D butterfly joins outweigh the HBM-fusion win), so the fused
-    kernel stays opt-in until its layout is tuned; it remains bit-exact
-    and tested (tests/test_pallas_ntt.py)."""
+    off).  Measured on a v5e chip (2026-08-19) the XLA four-step path
+    remains *faster*: 1.84-1.98 us/row vs the fused kernel's best 2.32-2.38
+    (N=16384×7 limbs).  The round-2 kernel rework (sublane-batch layout
+    with whole-vreg joins at every stage, in-kernel Harvey lazy reduction,
+    tile sweep 8/16/24/32/64) recovered 3.31 -> 2.32 us/row and proved the
+    stage-join relayouts were NOT the round-1 bottleneck — the kernel is
+    VPU-issue-bound and Mosaic's elementwise codegen trails XLA's fused
+    elementwise on this uint32-multiply-heavy mix, while the HBM traffic
+    the fusion saves was never the limiter.  The kernel stays opt-in:
+    bit-exact, tested (tests/test_pallas_ntt.py), re-measured by
+    scripts/chip_check.py."""
     return os.environ.get("RSB_TPU_PALLAS", "off") == "on"
 
 
