@@ -198,6 +198,41 @@ def bfv_suite(extras):
     )
 
 
+def dot_latency(extras):
+    """CKKS dot product n=100 at the descriptor default N=8192 — the
+    workload whose accumulate now takes the baby-step/giant-step path
+    (two hoisted key-switches instead of 7 serial tree switches)."""
+    from reference_seal_backend_tpu.engine.descriptor import (
+        Category,
+        Scheme,
+        Workload,
+    )
+    from reference_seal_backend_tpu.engine.registry import Engine
+
+    engine = Engine()
+    desc = next(
+        d
+        for d in engine.descriptors
+        if d.workload is Workload.DOT_PRODUCT
+        and d.category is Category.LATENCY
+        and d.scheme is Scheme.CKKS
+    )
+    bench = engine.create_benchmark(desc, {})
+    n = bench.params["n"]
+    rng = np.random.default_rng(1234)
+    va = rng.uniform(-1, 1, (1, n))
+    vb = rng.uniform(-1, 1, (1, n))
+    h = bench.load(bench.encrypt(bench.encode([va, vb])))
+    (got,) = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+    _gate("ckks_dot_n100", got[0], va[0] @ vb[0], 5e-4)
+    extras["ckks_dot_n100_latency_ms_n8192"] = round(
+        _latency_ms(
+            lambda: bench.block(bench.operate(h)), lambda o: 0, reps=10
+        ),
+        2,
+    )
+
+
 def logreg_latency(extras, poly: int, key: str):
     from reference_seal_backend_tpu.engine.descriptor import (
         Category,
@@ -234,6 +269,7 @@ def main() -> None:
     extras: dict = {}
     headline = ckks_suite(extras)
     bfv_suite(extras)
+    dot_latency(extras)
     logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms")
     if RUN_32K:
         logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms")

@@ -41,21 +41,38 @@ from reference_seal_backend_tpu.schemes import ckks as ckks_mod
 # wins.  Break-even from the measured cost model: a digit-lift ≈ 6.5×, a
 # mod-down ≈ 1.3× one key-inner-product.
 _HOIST_MAX_COUNT = 32
+# Between _HOIST_MAX_COUNT and this bound a baby-step/giant-step split
+# (window sum of ⌈√count⌉ slots, then ⌈count/√count⌉ window strides — TWO
+# hoisted key-switches total, each with ≤ 32 inner products) beats the
+# ceil(log2(count)) serial key-switches of the tree: with the cost model
+# above, 2·(6.5 + √c + 1.3) < 8.8·log2(c) holds for 32 < c ≲ 1500.  Past
+# that the linear inner-product term overtakes the tree.
+_BSGS_MAX_COUNT = 1024
 
 
 def _hoisted(count: int) -> bool:
     return 1 < count <= _HOIST_MAX_COUNT
 
 
+def _bsgs_split(count: int) -> tuple:
+    baby = math.isqrt(count - 1) + 1  # ceil(sqrt(count))
+    giant = -(-count // baby)         # ceil(count / baby)
+    return baby, giant
+
+
 def rotations_for_accumulate(count: int, slots: int) -> List[int]:
     """Rotation steps accumulate() will use for ``count`` (drives which
     Galois keys a benchmark generates): linear 1..count-1 for small counts
-    (hoisted key-switch), power-of-two tree otherwise."""
+    (one hoisted key-switch), baby-step/giant-step for medium counts (two
+    hoisted key-switches), power-of-two tree otherwise."""
     count = min(count, slots)
     if count <= 1:
         return []
     if _hoisted(count):
         return list(range(1, count))
+    if count <= _BSGS_MAX_COUNT:
+        baby, giant = _bsgs_split(count)
+        return list(range(1, baby)) + [baby * i for i in range(1, giant)]
     return [1 << i for i in range(math.ceil(math.log2(count)))]
 
 
@@ -76,6 +93,15 @@ def accumulate(ev: Evaluator, ct: Ciphertext, count: int) -> Ciphertext:
     row_count = min(count, row)
     if _hoisted(row_count):
         out = ev.rotate_sum(ct, list(range(row_count)))
+    elif 1 < row_count <= _BSGS_MAX_COUNT:
+        # Baby-step/giant-step: slot j of the baby pass holds the window
+        # sum Σ_{i<baby} v[j+i]; striding those windows by `baby` covers
+        # baby·giant ≥ count slots (the overshoot reads zero-padded slots,
+        # exactly like the tree's power-of-two window).  Two hoisted
+        # key-switches total instead of ceil(log2(count)) serial ones.
+        baby, giant = _bsgs_split(row_count)
+        out = ev.rotate_sum(ct, list(range(baby)))
+        out = ev.rotate_sum(out, [baby * i for i in range(giant)])
     else:
         out = ct
         for step in rotations_for_accumulate(row_count, row):

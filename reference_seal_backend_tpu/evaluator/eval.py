@@ -30,6 +30,7 @@ from dataclasses import replace
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
@@ -409,14 +410,18 @@ class Evaluator:
         if g not in self._hoist_cache:
             key = self.keys.galois[g]
             g_inv = pow(g, -1, 2 * self.ctx.n)
-            perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
-            take = lambda arr: jnp.asarray(
-                np.take(np.asarray(arr), perm, axis=-1)
-            )
-            self._hoist_cache[g] = SwitchKey(
-                b=take(key.b), a=take(key.a),
-                bs=take(key.bs), as_=take(key.as_),
-            )
+            # Cached across jit traces — must hold concrete arrays even
+            # when first requested from inside a trace (a tracer stored
+            # here would leak into later retraces).
+            with jax.ensure_compile_time_eval():
+                perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
+                take = lambda arr: jnp.asarray(
+                    np.take(np.asarray(arr), perm, axis=-1)
+                )
+                self._hoist_cache[g] = SwitchKey(
+                    b=take(key.b), a=take(key.a),
+                    bs=take(key.bs), as_=take(key.as_),
+                )
         return self._hoist_cache[g]
 
     def rotate_sum(self, a: Ciphertext, steps: Sequence[int]) -> Ciphertext:

@@ -25,6 +25,8 @@ ROWS = [
      "one digit-lift + one mod-down shared across 8 rotations"),
     ("bfv_behz_mult_per_sec_n8192", "BFV (BEHZ) ct-ct multiply, N=8192",
      "ops/s", "stacked q∪Bsk base plan"),
+    ("ckks_dot_n100_latency_ms_n8192", "CKKS dot product n=100, N=8192",
+     "ms", "BSGS accumulate: two hoisted key-switches"),
     ("ckks_logreg_n16384_latency_ms", "CKKS logreg PolyD3 operate, N=16384",
      "ms", "full pipeline: dots -> collapse -> bias -> Horner (depth 6)"),
     ("ckks_logreg_n32768_latency_ms", "CKKS logreg PolyD3 operate, N=32768",

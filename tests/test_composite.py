@@ -21,9 +21,14 @@ EPS = 5e-5
 @pytest.fixture(scope="module")
 def ckks_setup():
     ctx = make_ckks_context(poly_modulus_degree=2048, mult_depth=4, sec_level=0)
-    # linear steps for hoisted small-count accumulate, power-of-two tree
-    # steps for large counts, negative steps for collapse
-    steps = list(range(1, 16)) + [16, 32, 64] + [-1, -2, -4]
+    # linear steps for hoisted small-count accumulate, baby/giant steps for
+    # medium counts (accumulate's BSGS path at count=100), power-of-two
+    # tree steps for large counts, negative steps for collapse
+    steps = sorted(
+        set(range(1, 16))
+        | {16, 32, 64}
+        | set(composite.rotations_for_accumulate(100, ctx.n // 2))
+    ) + [-1, -2, -4]
     ks = keys_mod.keygen(
         ctx,
         seed=3,
