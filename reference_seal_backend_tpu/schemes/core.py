@@ -27,9 +27,10 @@ class Ciphertext:
     """RLWE ciphertext: ``data[size, level, N]`` uint32 residues.
 
     ``size`` is the number of polynomial components (2 fresh, 3 after an
-    unrelinearized multiply).  CKKS ciphertexts are always NTT-domain
-    Montgomery form; BFV ciphertexts are coefficient-domain Montgomery form
-    (is_ntt=False).  Leading batch axes may precede ``size``.
+    unrelinearized multiply).  Both CKKS and BFV ciphertexts are stored
+    NTT-domain Montgomery form at rest (is_ntt=True); only the BFV BEHZ
+    multiply drops to coefficient domain internally (evaluator/behz.py).
+    Leading batch axes may precede ``size``.
     """
 
     data: jnp.ndarray
