@@ -74,6 +74,7 @@ RESULT: dict = {
     "extras": {},
     "skipped": [],
     "budget_s": BUDGET_S,
+    "date": time.strftime("%Y-%m-%d", time.gmtime()),
 }
 
 

@@ -54,6 +54,15 @@ class BenchmarkDescriptor:
     # the analogue of the reference's default + flexible named params
     # (PolyModulusDegree, MultiplicativeDepth, ..., NumThreads).
     default_params: Dict[str, int] = field(default_factory=dict)
+    # Per-descriptor timing attributes, mirroring the reference's
+    # ``cat_params`` registration (/root/reference
+    # src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:38-45):
+    # Latency warmup count, minimum timed-loop duration, and the Offline
+    # per-operand sample counts (0 = flexible, i.e. the harness's
+    # default_sample_size decides — the reference CI seds it to 3).
+    warmup_iterations: int = 1
+    min_test_time_ms: int = 0
+    default_data_count: Tuple[int, ...] = ()
 
     @property
     def name(self) -> str:
@@ -77,6 +86,18 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
     (src/engine/seal_engine.cpp:108-151), with parameter defaults from
     SURVEY.md §2.2 mapped onto this framework's composite-scale contexts."""
     out = []
+    # Offline categories get a non-zero min_test_time_ms (the reference
+    # registers 0 everywhere and lets the harness decide; a 500 ms floor
+    # makes the recorded throughput a multi-iteration average instead of
+    # a single-dispatch sample — deviation noted in PARITY.md) and the
+    # reference's flexible per-operand data_count.
+    def _cat(cat, *data_count):
+        if cat is Category.OFFLINE:
+            return dict(
+                min_test_time_ms=500, default_data_count=tuple(data_count)
+            )
+        return dict(warmup_iterations=1, min_test_time_ms=0)
+
     for cat in (Category.LATENCY, Category.OFFLINE):
         for wl in (Workload.ELTWISE_ADD, Workload.ELTWISE_MULT):
             out.append(
@@ -85,6 +106,7 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                     default_params=_d(
                         n=1000, poly_modulus_degree=8192, mult_depth=2
                     ),
+                    **_cat(cat, 0, 0),
                 )
             )
             out.append(
@@ -93,6 +115,7 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                     default_params=_d(
                         n=1000, poly_modulus_degree=8192, mult_depth=2
                     ),
+                    **_cat(cat, 0, 0),
                 )
             )
         out.append(
@@ -101,6 +124,7 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                 default_params=_d(
                     n=100, poly_modulus_degree=8192, mult_depth=2
                 ),
+                **_cat(cat, 0, 0),
             )
         )
         out.append(
@@ -109,6 +133,7 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                 default_params=_d(
                     n=100, poly_modulus_degree=8192, mult_depth=2
                 ),
+                **_cat(cat, 0, 0),
             )
         )
     # The reference registers cipherbatchaxis/row at MultDepth 3 because
@@ -135,9 +160,14 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                         rows_m0=10, cols_m0=9, cols_m1=8,
                         poly_modulus_degree=8192, mult_depth=depth,
                     ),
+                    **_cat(Category.LATENCY),
                 )
             )
     for cat in (Category.LATENCY, Category.OFFLINE):
+        # LogReg offline data_count: W and b are single samples, X is
+        # flexible (reference registers batch_size 0 = flexible with a
+        # 100-sample default constant — src/engine/seal_engine.cpp:148-151,
+        # seal_ckks_logreg_horner.cpp:38-45).
         out.append(
             BenchmarkDescriptor(
                 Workload.LOGREG_POLY_D3, Scheme.CKKS, cat,
@@ -146,6 +176,7 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                     n=16, poly_modulus_degree=16384, mult_depth=6,
                     batch_size=100,
                 ),
+                **_cat(cat, 1, 1, 0),
             )
         )
     assert len(out) == 20

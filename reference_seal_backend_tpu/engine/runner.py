@@ -124,17 +124,28 @@ def run_benchmark(
     seed: int,
     params: Optional[Dict[str, int]] = None,
     sample_size: int = 3,
-    min_test_time_ms: float = 0.0,
-    warmup_iterations: int = 1,
+    min_test_time_ms: Optional[float] = None,
+    warmup_iterations: Optional[int] = None,
     atol: float = 5e-4,
 ) -> RunResult:
+    """``min_test_time_ms`` / ``warmup_iterations`` = None defer to the
+    descriptor's registered timing attributes (the reference's
+    ``cat_params``); an explicit value (CLI / YAML config) overrides."""
     name = desc.name
+    if min_test_time_ms is None:
+        min_test_time_ms = float(desc.min_test_time_ms)
+    if warmup_iterations is None:
+        warmup_iterations = desc.warmup_iterations
     try:
         bench = engine.create_benchmark(desc, params)
         rng = np.random.default_rng(seed)
         if desc.category is Category.OFFLINE:
-            b0 = 1 if desc.workload is Workload.LOGREG_POLY_D3 else sample_size
-            b1 = sample_size
+            # Per-operand sample counts: the descriptor's registered
+            # offline data_count, 0 = flexible -> sample_size (the
+            # harness default_sample_size contract).
+            dc = desc.default_data_count or (0, 0)
+            b0 = dc[0] if dc[0] > 0 else sample_size
+            b1 = (dc[-1] if dc[-1] > 0 else sample_size) if len(dc) > 1 else 1
         else:
             b0 = b1 = 1
         inputs, truth_fn = _gen_inputs(desc, bench.params, rng, b0, b1)
@@ -187,12 +198,14 @@ def run_all(
     report_dir: Optional[str] = None,
     params: Optional[Dict[str, int]] = None,
     verbose: bool = True,
-    min_test_time_ms: float = 0.0,
+    min_test_time_ms: Optional[float] = None,
     per_benchmark: Optional[Dict[str, Dict]] = None,
 ) -> List[RunResult]:
     """Run benchmarks by name.  ``params`` applies to every benchmark;
-    ``per_benchmark[name]`` may carry {"params": {...}, "sample_size": n}
-    overrides from a YAML config (config params under CLI params)."""
+    ``per_benchmark[name]`` may carry {"params": {...}, "sample_size": n,
+    "min_test_time_ms": t, "warmup_iterations": w} overrides from a YAML
+    config (config params under CLI params; None timing values defer to
+    each descriptor's registered attributes)."""
     engine = Engine()
     names = benchmark_names or engine.names()
     unknown = [n for n in names if n not in engine.names()]
@@ -213,7 +226,8 @@ def run_all(
             seed=seed,
             params=eff_params or None,
             sample_size=entry.get("sample_size", sample_size),
-            min_test_time_ms=min_test_time_ms,
+            min_test_time_ms=entry.get("min_test_time_ms", min_test_time_ms),
+            warmup_iterations=entry.get("warmup_iterations"),
         )
         results.append(res)
         if verbose:
@@ -276,7 +290,19 @@ def dump_config(path: str) -> None:
         "default_sample_size": 0,
         "random_seed": 1234,
         "benchmark": [
-            {"name": d.name, "params": dict(d.default_params)}
+            {
+                "name": d.name,
+                "params": dict(d.default_params),
+                # registered per-descriptor timing attributes — editable
+                # in the dumped config and honored on re-run
+                "min_test_time_ms": d.min_test_time_ms,
+                "warmup_iterations": d.warmup_iterations,
+                **(
+                    {"data_count": list(d.default_data_count)}
+                    if d.default_data_count
+                    else {}
+                ),
+            }
             for d in engine.descriptors
         ],
     }
@@ -301,11 +327,22 @@ def load_config(path: str):
             "params": dict(entry.get("params") or {}),
             "sample_size": int(entry.get("sample_size", eff_default)),
         }
+        # optional per-benchmark timing overrides (round-tripped by
+        # dump_config; absent keys defer to the descriptor's registration)
+        if "min_test_time_ms" in entry:
+            per_benchmark[name]["min_test_time_ms"] = float(
+                entry["min_test_time_ms"]
+            )
+        if "warmup_iterations" in entry:
+            per_benchmark[name]["warmup_iterations"] = int(
+                entry["warmup_iterations"]
+            )
+    default_min = cfg.get("default_min_test_time", None)
     return (
         names,
         per_benchmark,
         int(cfg.get("random_seed", 1234)),
-        float(cfg.get("default_min_test_time", 0)),
+        None if default_min in (None, 0) else float(default_min),
     )
 
 
@@ -352,7 +389,8 @@ def main(argv=None):
     names = args.benchmarks
     per_benchmark = None
     seed = 1234 if args.random_seed is None else args.random_seed
-    min_ms = 0.0 if args.min_test_time_ms is None else args.min_test_time_ms
+    # None defers to each descriptor's registered min_test_time_ms
+    min_ms = args.min_test_time_ms
     if args.config_file:
         names_cfg, per_benchmark, seed_cfg, min_ms_cfg = load_config(
             args.config_file

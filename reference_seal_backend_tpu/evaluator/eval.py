@@ -10,17 +10,23 @@ samples (SURVEY.md §2.3) become vmapped/broadcast batch dimensions that XLA
 tiles over the VPU, and shard over a mesh with pjit.
 
 Key switching (relinearize, rotations) implements RNS-decomposition hybrid
-switching over the single special modulus (see schemes/keys.py):
+switching over the special modulus P = Π special_primes, with optional
+**digit grouping** (schemes/params.py Context docstring — G consecutive
+limbs per digit, the decomposition-count trade of SEAL's key-switch keys):
 
-    digits   d_i = [d]_{q_i}                 (iNTT, de-Montgomery)
-    lift     D_{i,j} = [d_i]_{q_j}, j ∈ live ∪ {special}   (Barrett)
+    digits   d_i = [d]_{Q_i}, Q_i = Π of group i's live primes
+             (iNTT; for G=1 just de-Montgomery, for G>1 ·(Q_i/q_k)^{-1})
+    lift     D_{i,j} = fast-base-conversion of d_i onto q_j,
+             j ∈ live ∪ specials                           (Barrett)
     NTT      per-target-modulus forward transforms
     inner    (Σ_i D_{i,j}·ksk_b[i,j],  Σ_i D_{i,j}·ksk_a[i,j])
     moddown  divide-and-round by P back to the live limbs
+             (one exact divide-and-round per special prime)
 
-The O(l²) per-switch NTT count is the dominant cost, exactly as SEAL's
-key-switch is on CPU; here all l² transforms batch into two fused
-stage-butterfly sweeps.
+The O(ceil(l/G)·(l+ns)) per-switch NTT count is the dominant cost, exactly
+as SEAL's key-switch is on CPU; here all transforms batch into two fused
+stage-butterfly sweeps, and G=2 halves both the lift-NTT rows and the
+inner-product terms.
 """
 
 from __future__ import annotations
@@ -179,10 +185,18 @@ class Evaluator:
     def _switch_targets(self, l: int):
         ctx = self.ctx
         sp = ctx.sp_row
-        cat = lambda arr: jnp.concatenate(
-            [arr[:l], arr[sp : sp + 1]], axis=0
-        )
+        cat = lambda arr: jnp.concatenate([arr[:l], arr[sp:]], axis=0)
         return cat(ctx.p), cat(ctx.p_neg_inv), cat(ctx.mu)
+
+    def _cat_key(self, arr: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Select the live slice of a switch-key polynomial array:
+        digits covering live limbs × (live targets ∪ all special rows).
+        [n_dig_total, nf, N] -> [n_dig_live, l + n_special, N]."""
+        ctx = self.ctx
+        nd = ctx.dig_count(l)
+        return jnp.concatenate(
+            [arr[:nd, :l], arr[:nd, ctx.sp_row :]], axis=1
+        )
 
     def key_switch(
         self, d: jnp.ndarray, key: SwitchKey, level: int
@@ -192,19 +206,18 @@ class Evaluator:
         Returns (kb, ka), each [..., l, N] NTT Montgomery — the additive
         correction encrypting d·s_src under s.
         """
-        ctx = self.ctx
         l = level
-        sp = ctx.sp_row
         p_t, _, _ = self._switch_targets(l)
         dig = self._hoisted_digits(d, l)
         # 4) inner product with the switch key (Shoup constants: the keys
         #    are per-context constants, normal·Mont lands in Montgomery
         #    form) and accumulate over source digits.
-        cat2 = lambda k: jnp.concatenate(
-            [k[:l, :l], k[:l, sp : sp + 1]], axis=1
+        tb = modops.shoup_mul(
+            dig, self._cat_key(key.b, l), self._cat_key(key.bs, l), p_t
         )
-        tb = modops.shoup_mul(dig, cat2(key.b), cat2(key.bs), p_t)
-        ta = modops.shoup_mul(dig, cat2(key.a), cat2(key.as_), p_t)
+        ta = modops.shoup_mul(
+            dig, self._cat_key(key.a, l), self._cat_key(key.as_, l), p_t
+        )
         acc_b = _mod_sum(tb, p_t, axis=-3)
         acc_a = _mod_sum(ta, p_t, axis=-3)
         # 5) divide-and-round by the special modulus.
@@ -215,57 +228,112 @@ class Evaluator:
     def _hoisted_digits(self, d: jnp.ndarray, level: int) -> jnp.ndarray:
         """Steps 1-3 of key switching for ``d`` [..., l, N] NTT Montgomery:
         digit decomposition, cross-limb lift, per-target forward NTT.
-        Returns [..., l, l+1, N] normal-form digits over live ∪ special.
-        The expensive part (the O(l²) lift NTTs) — shared across all
-        rotations of one ciphertext by :meth:`rotate_sum` (hoisting)."""
+        Returns [..., n_dig, l+ns, N] normal-form digits over
+        live ∪ specials.  The expensive part (the O(n_dig·(l+ns)) lift
+        NTTs) — shared across all rotations of one ciphertext by
+        :meth:`rotate_sum` (hoisting)."""
         ctx = self.ctx
         l = level
-        sp = ctx.sp_row
-        # 1) digits: coefficient-domain normal-form residues per live limb.
+        G = ctx.digit_group
+        # 1) digits: coefficient-domain residues per live limb.
         d_coeff = ctx.plan.inv(d, lo=0)
-        d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
-        # 2) lift each source digit onto all targets (live ∪ special).
         p_t, _, mu_t = self._switch_targets(l)
-        lifted = modops.barrett_reduce_u32(
-            d_norm[..., :, None, :], p_t, mu_t
-        )  # [..., l_src, l+1, N]
+        if G == 1:
+            d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
+            # 2) lift each source digit onto all targets (live ∪ special).
+            lifted = modops.barrett_reduce_u32(
+                d_norm[..., :, None, :], p_t, mu_t
+            )  # [..., l_src, l+ns, N]
+        else:
+            # Grouped fast base conversion (params.Context.digit_tables):
+            # v_k = d_k·(Q_g/q_k)^{-1} mod q_k  (one mont_mul, replacing
+            # from_mont), then
+            # D̃_g[j] = Σ_{k∈g} [v_k mod p_j]·(Q_g/q_k mod p_j).
+            ihat, W, Ws = ctx.digit_tables(l)
+            v = modops.mont_mul(
+                d_coeff, ihat, ctx.p[:l], ctx.p_neg_inv[:l]
+            )  # [..., l, N] normal form
+            contrib = modops.shoup_mul(
+                modops.barrett_reduce_u32(v[..., :, None, :], p_t, mu_t),
+                W,
+                Ws,
+                p_t,
+            )  # [..., l, l+ns, N]
+            nd = ctx.dig_count(l)
+            pad = nd * G - l
+            if pad:
+                contrib = jnp.concatenate(
+                    [contrib, jnp.zeros_like(contrib[..., :pad, :, :])],
+                    axis=-3,
+                )
+            grp = contrib.reshape(
+                *contrib.shape[:-3], nd, G, *contrib.shape[-2:]
+            )
+            lifted = grp[..., 0, :, :]
+            for gi in range(1, G):
+                lifted = modops.mod_add(lifted, grp[..., gi, :, :], p_t)
+            # [..., n_dig, l+ns, N]
         # 3) forward NTT per target modulus (normal form stays normal).
         data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
-        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=sp)
+        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=ctx.sp_row)
         return jnp.concatenate([data_part, sp_part], axis=-2)
 
     def _mod_down_special(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
-        """[..., l+1, N] (live + special rows, NTT Mont) -> [..., l, N]
-        Montgomery form of round(x / P)."""
+        """[..., l+ns, N] (live + special rows, NTT Mont) -> [..., l, N]
+        Montgomery form of round(x / P), peeling one special prime at a
+        time (each peel is the exact divide-and-round of the ungrouped
+        path; for n_special == 1 this is bit-identical to it)."""
+        for j in reversed(range(self.ctx.n_special)):
+            x = self._peel_special(x, l, j)
+        return x
+
+    def _peel_special(self, x: jnp.ndarray, l: int, j: int) -> jnp.ndarray:
+        """Divide-and-round ``x`` [..., l+j+1, N] (rows = live 0..l-1 then
+        specials 0..j) by special prime j -> [..., l+j, N]."""
         ctx = self.ctx
-        sp = ctx.sp_row
-        v_mont = ctx.plan.inv(x[..., l:, :], lo=sp)
+        dr = ctx.L + j  # context row of the divisor prime
+        k = l + j       # its row index within x
+        v_mont = ctx.plan.inv(x[..., k : k + 1, :], lo=dr)
         v = modops.from_mont(
-            v_mont, ctx.p[sp : sp + 1], ctx.p_neg_inv[sp : sp + 1]
-        )  # [..., 1, N] in [0, P)
-        flag = (v > ctx.div_half[sp]).astype(jnp.uint32)
-        w = modops.mod_sub(
-            modops.barrett_reduce_u32(v, ctx.p[:l], ctx.mu[:l]),
-            flag * ctx.div_mod[sp, :l][:, None],
-            ctx.p[:l],
-        )  # centered lift, [..., l, N] normal form
-        w_ntt = ctx.plan.fwd(w, lo=0)
-        p = ctx.p[:l]
-        sel = lambda t: t[sp, :l][:, None]
-        return modops.mod_sub(
-            # x is Montgomery form: multiply by plain P^{-1}
-            modops.shoup_mul(
-                x[..., :l, :], sel(ctx.div_inv), sel(ctx.div_inv_shoup), p
-            ),
-            # w is normal form: multiply by P^{-1}·R to land in Montgomery
-            modops.shoup_mul(
-                w_ntt,
-                sel(ctx.div_inv_mont),
-                sel(ctx.div_inv_mont_shoup),
+            v_mont, ctx.p[dr : dr + 1], ctx.p_neg_inv[dr : dr + 1]
+        )  # [..., 1, N] in [0, p_dr)
+        flag = (v > ctx.div_half[dr]).astype(jnp.uint32)
+
+        def lift(rows):
+            # centered lift of v onto target rows, normal form
+            return modops.mod_sub(
+                modops.barrett_reduce_u32(v, ctx.p[rows], ctx.mu[rows]),
+                flag * ctx.div_mod[dr, rows][:, None],
+                ctx.p[rows],
+            )
+
+        def combine(xpart, w_ntt, rows):
+            p = ctx.p[rows]
+            sel = lambda t: t[dr, rows][:, None]
+            return modops.mod_sub(
+                # x is Montgomery form: multiply by plain p_dr^{-1}
+                modops.shoup_mul(
+                    xpart, sel(ctx.div_inv), sel(ctx.div_inv_shoup), p
+                ),
+                # w is normal form: p_dr^{-1}·R lands it in Montgomery
+                modops.shoup_mul(
+                    w_ntt,
+                    sel(ctx.div_inv_mont),
+                    sel(ctx.div_inv_mont_shoup),
+                    p,
+                ),
                 p,
-            ),
-            p,
+            )
+
+        live = slice(0, l)
+        out = combine(x[..., :l, :], ctx.plan.fwd(lift(live), lo=0), live)
+        if j == 0:
+            return out
+        sps = slice(ctx.L, dr)  # remaining special rows 0..j-1
+        out_sp = combine(
+            x[..., l:k, :], ctx.plan.fwd(lift(sps), lo=ctx.L), sps
         )
+        return jnp.concatenate([out, out_sp], axis=-2)
 
     def relinearize(self, a: Ciphertext) -> Ciphertext:
         if a.size == 2:
@@ -455,25 +523,22 @@ class Evaluator:
             for _ in range(n_id - 1):
                 out = modops.mod_add(out, a.data, p)
             return replace(a, data=out)
-        sp = ctx.sp_row
         p_t, _, _ = self._switch_targets(l)
         dig = self._hoisted_digits(a.data[..., 1, :, :], l)
-        cat2 = lambda k: jnp.concatenate(
-            [k[:l, :l], k[:l, sp : sp + 1]], axis=1
-        )
-        acc = None           # [..., 2(b,a), l+1, N] pre-mod-down sum
+        cat2 = lambda k: self._cat_key(k, l)
+        acc = None           # [..., 2(b,a), l+ns, N] pre-mod-down sum
         c0_parts = []        # permuted c0 components, [..., l, N]
         for s in nonzero:
             g = pow(5, s, 2 * n)
             if self.keys is None or g not in self.keys.galois:
                 raise ValueError(f"missing Galois key for element {g}")
             hk = self._hoisted_key(g)
-            pair_w = jnp.stack([cat2(hk.b), cat2(hk.a)])    # [2, l, l+1, N]
+            pair_w = jnp.stack([cat2(hk.b), cat2(hk.a)])  # [2, nd, l+ns, N]
             pair_s = jnp.stack([cat2(hk.bs), cat2(hk.as_)])
             terms = modops.shoup_mul(
                 dig[..., None, :, :, :], pair_w, pair_s, p_t
-            )  # [..., 2, l, l+1, N]
-            acc_g = _mod_sum(terms, p_t, axis=-3)           # [..., 2, l+1, N]
+            )  # [..., 2, nd, l+ns, N]
+            acc_g = _mod_sum(terms, p_t, axis=-3)         # [..., 2, l+ns, N]
             perm = ctx.plan.galois_perm(g)
             acc_g = jnp.take(acc_g, perm, axis=-1)          # apply φ_g
             acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)

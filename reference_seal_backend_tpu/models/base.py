@@ -194,7 +194,9 @@ class HEBenchmark(abc.ABC):
             "poly_modulus_degree": str(ctx.n),
             "slots": str(ctx.slots),
             "coeff_modulus_chain_bits": "|".join(map(str, chain)),
-            "special_modulus_bits": str(ctx.special_prime.bit_length()),
+            "special_modulus_bits": str(
+                sum(p.bit_length() for p in ctx.special_primes)
+            ),
             "total_coeff_modulus_bits": str(ctx.total_coeff_bits),
             # Computed, never asserted: "128 bits" only when the full
             # modulus respects the HE-standard classical-128 bound the

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from reference_seal_backend_tpu.ops import modops
 from reference_seal_backend_tpu.evaluator.eval import _mod_sum
 from reference_seal_backend_tpu.parallel import sharded_ntt
-from reference_seal_backend_tpu.schemes.core import Ciphertext
+from reference_seal_backend_tpu.schemes.core import Ciphertext, Plaintext
 from reference_seal_backend_tpu.schemes.keys import KeySet, SwitchKey
 from reference_seal_backend_tpu.schemes.params import Context
 
@@ -102,6 +102,12 @@ class SpEvaluator:
         self.keys = keys
         self.mesh = mesh
         self.axis = axis
+        if ctx.digit_group != 1 or ctx.n_special != 1:
+            # Grouped digit decomposition is not yet threaded through the
+            # sharded key-switch; build sp contexts with digit_group=1.
+            raise NotImplementedError(
+                "SpEvaluator requires digit_group=1 / single special prime"
+            )
         self.n1 = ctx.plan.n1
         self.n2 = ctx.plan.n2
         if not self.n2:
@@ -129,11 +135,39 @@ class SpEvaluator:
             is_ntt=True,
         )
 
+    def shard_pt(self, pt: Plaintext) -> Plaintext:
+        """Plaintext [..., L, N] -> sp layout [..., L, n2, n1] on the mesh."""
+        t = to_sp_layout(pt.data, self.n1, self.n2)
+        spec = P(*([None] * (t.ndim - 1)), self.axis)
+        t = jax.device_put(t, NamedSharding(self.mesh, spec))
+        return replace(pt, data=t)
+
     # -- dyadic ops ----------------------------------------------------------
 
     def add(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
         p = _c3(self.ctx.p[: a.level])
         return replace(a, data=modops.mod_add(a.data, b.data, p))
+
+    def add_plain(self, a: SpCiphertext, pt: Plaintext) -> SpCiphertext:
+        """evaluator/eval.py add_plain in sp layout (CKKS only — the sp
+        path is the CKKS workload pipeline)."""
+        if pt.level != a.level:
+            raise ValueError("plaintext level mismatch")
+        p = _c3(self.ctx.p[: a.level])
+        c0 = modops.mod_add(a.data[..., 0, :, :, :], pt.data, p)
+        data = jnp.concatenate(
+            [c0[..., None, :, :, :], a.data[..., 1:, :, :, :]], axis=-4
+        )
+        return replace(a, data=data)
+
+    def multiply_plain(self, a: SpCiphertext, pt: Plaintext) -> SpCiphertext:
+        if pt.level != a.level:
+            raise ValueError("plaintext level mismatch")
+        l = a.level
+        p = _c3(self.ctx.p[:l])
+        pni = _c3(self.ctx.p_neg_inv[:l])
+        data = modops.mont_mul(a.data, pt.data, p, pni)
+        return replace(a, data=data, scale=a.scale * pt.scale)
 
     def multiply(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
         """Karatsuba ct-ct multiply, op-for-op evaluator/eval.py
@@ -306,6 +340,93 @@ class SpEvaluator:
 
     def conjugate(self, a: SpCiphertext) -> SpCiphertext:
         return self.apply_galois(a, 2 * self.ctx.n - 1)
+
+    # -- hoisted rotations -----------------------------------------------------
+
+    def _hoist_key_t(self, g: int, l: int):
+        """Hoisted Galois key for element ``g`` in sp layout: the inverse
+        automorphism φ_{g^{-1}} pre-applied along the flat slot axis
+        (evaluator/eval.py _hoisted_key), then the cat2 selection
+        relayouted to [2(b,a), l, l+1, n2, n1] stacks (host-side,
+        one-time)."""
+        ck = ("hoist", g, l)
+        if ck not in self._key_cache:
+            key = self.keys.galois[g]
+            g_inv = pow(g, -1, 2 * self.ctx.n)
+            perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
+            sp = self.ctx.sp_row
+            n1, n2 = self.n1, self.n2
+
+            def prep(arr):
+                a = np.take(np.asarray(arr), perm, axis=-1)
+                a = np.concatenate([a[:l, :l], a[:l, sp : sp + 1]], axis=1)
+                a = a.reshape(l, l + 1, n1, n2).swapaxes(-1, -2)
+                return np.ascontiguousarray(a)
+
+            with jax.ensure_compile_time_eval():
+                pair_w = jnp.asarray(np.stack([prep(key.b), prep(key.a)]))
+                pair_s = jnp.asarray(
+                    np.stack([prep(key.bs), prep(key.as_)])
+                )
+            self._key_cache[ck] = (pair_w, pair_s)
+        return self._key_cache[ck]
+
+    def _perm_flat(self, x: jnp.ndarray, perm_t: jnp.ndarray) -> jnp.ndarray:
+        """Apply a flat slot permutation to sp-layout trailing (n2, n1)."""
+        lead = x.shape[:-2]
+        flat = x.reshape(*lead, self.n1 * self.n2)
+        return jnp.take(flat, perm_t, axis=-1).reshape(x.shape)
+
+    def rotate_sum(
+        self, a: SpCiphertext, steps: Sequence[int]
+    ) -> SpCiphertext:
+        """Σ_s rotate(a, s) with ONE hoisted digit decomposition and ONE
+        mod-down shared across all rotations — op-for-op the arithmetic of
+        evaluator/eval.py Evaluator.rotate_sum (bit-exact), with every NTT
+        sweep distributed.  Together with accumulate()'s duck typing this
+        runs the dot-product BSGS accumulate fully sp-sharded."""
+        ctx = self.ctx
+        if a.size != 2:
+            raise ValueError("relinearize before rotating")
+        n = ctx.n
+        slots = n // 2
+        norm = [s % slots for s in steps]
+        nonzero = [s for s in norm if s != 0]
+        n_id = len(norm) - len(nonzero)
+        l = a.level
+        p3 = _c3(ctx.p[:l])
+        if not nonzero:
+            out = a.data
+            for _ in range(n_id - 1):
+                out = modops.mod_add(out, a.data, p3)
+            return replace(a, data=out)
+        p_t, _ = self._targets3(l)
+        dig = self._digits(a.data[..., 1, :, :, :], l)
+        acc = None           # [..., 2(b,a), l+1, n2, n1] pre-mod-down sum
+        c0_parts = []        # permuted c0 components
+        for s in nonzero:
+            g = pow(5, s, 2 * n)
+            if self.keys is None or g not in self.keys.galois:
+                raise ValueError(f"missing Galois key for element {g}")
+            pair_w, pair_s = self._hoist_key_t(g, l)
+            terms = modops.shoup_mul(
+                dig[..., None, :, :, :, :], pair_w, pair_s, p_t
+            )  # [..., 2, l, l+1, n2, n1]
+            acc_g = _mod_sum(terms, p_t, axis=-4)  # [..., 2, l+1, n2, n1]
+            perm_t = self._galois_perm_t(g)
+            acc_g = self._perm_flat(acc_g, perm_t)  # apply φ_g
+            acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)
+            c0_parts.append(
+                self._perm_flat(a.data[..., 0, :, :, :], perm_t)
+            )
+        kba = self._mod_down(acc, l)               # [..., 2, l, n2, n1]
+        c0_rot = _mod_sum(jnp.stack(c0_parts), p3, axis=0)
+        c0 = modops.mod_add(c0_rot, kba[..., 0, :, :, :], p3)
+        c1 = kba[..., 1, :, :, :]
+        for _ in range(n_id):
+            c0 = modops.mod_add(c0, a.data[..., 0, :, :, :], p3)
+            c1 = modops.mod_add(c1, a.data[..., 1, :, :, :], p3)
+        return replace(a, data=jnp.stack([c0, c1], axis=-4))
 
     # -- level / scale -----------------------------------------------------------
 

@@ -3,18 +3,20 @@
 Same key surface as the reference's per-benchmark key setup
 (``SEALContextWrapper::createKeysAndEncryptors``, /root/reference
 src/engine/seal_context.cpp:46-70) rebuilt for the RNS/uint32/NTT-domain
-representation with **hybrid key switching over one special modulus**:
+representation with **hybrid key switching over a (possibly multi-prime)
+special modulus P = Π special_primes**:
 
 For a source secret ``s_src`` (s² for relin, σ_g(s) for Galois) the switch
-key is, per data limb i and over the full basis ``q ∪ {P}``::
+key is, per digit i (a group of ``digit_group`` consecutive data limbs,
+schemes/params.py Context docstring) over the full basis ``q ∪ P``::
 
     ksk_i = ( -(a_i·s + e_i) + P·δ_i·s_src ,  a_i )
 
-where δ_i is 1 on limb i and 0 elsewhere (P·δ_i = [P]_{q_i} on row i, and
-≡ 0 mod P on the special row).  Key-switching an input d decomposes it into
-per-limb digits d_i = [d]_{q_i}, lifts each digit across the basis, and
-accumulates Σ_i d_i·ksk_i; the mod-down by P then removes the noise scaled
-into P (evaluator/eval.py).
+where δ_i is 1 on every limb of digit i's group and 0 elsewhere (and ≡ 0
+mod each special prime).  Key-switching an input d decomposes it into
+per-group digits d_i = [d]_{Q_i}, lifts each digit across the basis (fast
+base conversion for grouped digits), and accumulates Σ_i d_i·ksk_i; the
+mod-down by P then removes the noise scaled into P (evaluator/eval.py).
 
 Key polynomials are stored in Montgomery form together with host-computed
 Shoup companions (floor(w·2**32/p)): the key-switch inner product against
@@ -64,10 +66,11 @@ class PublicKey:
 )
 @dataclass(frozen=True)
 class SwitchKey:
-    """Per-source-limb switch key over the full basis.
+    """Per-digit switch key over the full basis.
 
-    b, a: ``[n_src, n_full, N]`` where n_full = L_data + 1 (special last),
-    stored in **Montgomery form**, with Shoup companions bs, as_
+    b, a: ``[n_dig, n_full, N]`` where n_dig = ceil(L_data / digit_group)
+    and n_full = L_data + n_special (special primes last), stored in
+    **Montgomery form**, with Shoup companions bs, as_
     (``floor(w·2**32/p)``) so the key-switch inner product against
     normal-form lifted digits is one Shoup multiply per term
     (normal·Mont = Montgomery-form product; see modops.shoup_mul).
@@ -130,9 +133,11 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
     eagerly this is hundreds of tiny dispatches — prohibitive over a
     remote-chip tunnel)."""
     L = ctx.L
-    nf = L + 1
+    nf = L + ctx.n_special
     p_full, pni_full = ctx.p, ctx.p_neg_inv
-    P = ctx.special_prime
+    P = 1
+    for sp in ctx.special_primes:
+        P *= sp
     p_mod_mont = jnp.asarray(
         np.array(
             [[(P % q) * (1 << 32) % q] for q in ctx.data_primes],
@@ -140,6 +145,7 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
         )
     )
     n_sk = (1 if need_relin else 0) + len(elts)
+    n_dig = ctx.dig_count(L)
 
     def impl(s_res, a_pk, e_pk_res, a_sk, e_sk_res):
         s_ntt = ctx.plan.fwd(s_res, lo=0)  # [nf, N]
@@ -168,14 +174,17 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
                 p_full,
             ),
             p_full,
-        )  # [n_sk, L, nf, N]
-        # digit i additionally encrypts P·s_src on its own row q_i
+        )  # [n_sk, n_dig, nf, N]
+        # digit i additionally encrypts P·s_src on each row q_j of its
+        # limb group (j // digit_group == i); for digit_group == 1 this
+        # is the diagonal of the ungrouped layout.
         terms = modops.mont_mul(
             src[:, :L], p_mod_mont, p_d, pni_d
         )  # [n_sk, L, N]
-        idx = jnp.arange(L)
-        b = b.at[:, idx, idx].set(
-            modops.mod_add(b[:, idx, idx], terms, p_d)
+        row = jnp.arange(L)
+        dig = row // ctx.digit_group
+        b = b.at[:, dig, row].set(
+            modops.mod_add(b[:, dig, row], terms, p_d)
         )
         return s_ntt, b_pk, b, a_sk
 
@@ -190,7 +199,8 @@ def keygen(
 ) -> KeySet:
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0FFEE]))
     L = ctx.L
-    nf = L + 1
+    nf = L + ctx.n_special
+    n_dig = ctx.dig_count(L)
     two_n = 2 * ctx.n
     elts = []
     for g in galois_elts:
@@ -220,18 +230,18 @@ def keygen(
                         for p in ctx.primes
                     ]
                 )
-                for _ in range(n_sk * L)
+                for _ in range(n_sk * n_dig)
             ]
-        ).reshape(n_sk, L, nf, ctx.n)
+        ).reshape(n_sk, n_dig, nf, ctx.n)
         e_sk_res = np.stack(
             [
                 res(sample_error(rng, ctx.n), ctx.primes)
-                for _ in range(n_sk * L)
+                for _ in range(n_sk * n_dig)
             ]
-        ).reshape(n_sk, L, nf, ctx.n)
+        ).reshape(n_sk, n_dig, nf, ctx.n)
     else:
-        a_sk = np.zeros((0, L, nf, ctx.n), dtype=np.uint32)
-        e_sk_res = np.zeros((0, L, nf, ctx.n), dtype=np.uint32)
+        a_sk = np.zeros((0, n_dig, nf, ctx.n), dtype=np.uint32)
+        e_sk_res = np.zeros((0, n_dig, nf, ctx.n), dtype=np.uint32)
 
     fn = _keygen_fn(ctx, tuple(elts), need_relin)
     s_ntt, b_pk, b_sk, a_sk_out = fn(

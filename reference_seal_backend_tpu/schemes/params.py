@@ -90,6 +90,11 @@ class CkksParams:
     # /root/reference src/engine/seal_context.cpp:89-90); 0 disables the
     # check for small test configs (SEAL's sec_level_type::none).
     sec_level: int = 128
+    # Key-switch digit grouping (Context docstring): None = auto — use
+    # G=2 with a 2-prime special modulus whenever the HE-standard budget
+    # admits the extra prime (and the chain has >= 4 data limbs),
+    # else G=1.  Explicit G is honored as given (G special primes).
+    digit_group: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -100,6 +105,7 @@ class BfvParams:
     # data primes sized for noise budget; ~30-bit each.
     n_data_primes: int = 4
     sec_level: int = 128  # see CkksParams.sec_level
+    digit_group: Optional[int] = None  # see CkksParams.digit_group
 
 
 def _stack_consts(primes, key) -> np.ndarray:
@@ -111,19 +117,40 @@ def _stack_consts(primes, key) -> np.ndarray:
 class Context:
     """Shared RNS machinery for one (scheme, parameter set) instance.
 
-    ``primes = data_primes + (special,)``; ciphertext level ``l`` means the
-    first ``l`` data primes are live.  All constant tables are indexed
+    ``primes = data_primes + special_primes``; ciphertext level ``l`` means
+    the first ``l`` data primes are live.  All constant tables are indexed
     [divisor d, target j] where applicable.
+
+    **Digit-grouped hybrid key switching** (``digit_group`` = G): the
+    key-switch digit decomposition groups G consecutive data limbs per
+    digit (digit i covers limbs [iG, (i+1)G)), with the special modulus
+    P = Π special_primes sized to G primes so the noise ratio ‖digit‖/P
+    stays ~1.  This is the decomposition-count trade SEAL exposes in its
+    key-switching keys (the reference leans on it everywhere,
+    /root/reference src/engine/seal_context.cpp:46-70 keygen +
+    evaluator key-switch calls): G=2 halves the digit count and with it
+    the dominant O(l·(l+ns)) lift-NTT and inner-product cost per switch,
+    at the price of one extra 30-bit prime in the RLWE modulus (counted
+    against the HE-standard bound below).
     """
 
     def __init__(self, scheme: str, n: int, data_primes: Tuple[int, ...],
-                 special_prime: int, sec_level: int = 128):
+                 special_primes, sec_level: int = 128,
+                 digit_group: int = 1):
         self.scheme = scheme
         self.n = n
         self.data_primes = tuple(data_primes)
-        self.special_prime = special_prime
-        self.primes = self.data_primes + (special_prime,)
+        if isinstance(special_primes, int):
+            special_primes = (special_primes,)
+        self.special_primes = tuple(special_primes)
+        self.special_prime = self.special_primes[0]
+        self.n_special = len(self.special_primes)
+        self.primes = self.data_primes + self.special_primes
         self.L = len(self.data_primes)
+        self.digit_group = int(digit_group)
+        if self.digit_group < 1:
+            raise ValueError("digit_group must be >= 1")
+        self._digit_tables: Dict[int, tuple] = {}
         # HE-standard security accounting over the FULL modulus q ∪ {P}:
         # key-switching keys are RLWE samples mod q·P, so the special
         # modulus counts exactly as SEAL counts its key prime.  (BFV's
@@ -203,6 +230,87 @@ class Context:
             q *= p
         return q
 
+    # -- digit grouping (hybrid key-switch decomposition) --------------------
+
+    def dig_count(self, level: int) -> int:
+        """Number of live key-switch digits at ``level`` live limbs."""
+        return -(-level // self.digit_group)
+
+    def digit_tables(self, level: int):
+        """Host-precomputed lift constants for grouped digit decomposition
+        at ``level`` live limbs (cached; only used when digit_group > 1).
+
+        Returns (ihat, W, Ws):
+          ihat[k, 1]    = (Q_g/q_k)^{-1} mod q_k  (plain constant; one
+                          mont_mul takes Montgomery-form d_k to the normal
+                          form of d_k·ihat_k — replacing the from_mont of
+                          the ungrouped path at the same cost)
+          W[k, t, 1]    = (Q_g/q_k) mod p_t  over targets t ∈ live ∪ special
+          Ws[k, t, 1]   = Shoup companion floor(W·2^32 / p_t)
+
+        where g = k // digit_group and Q_g = Π of group g's LIVE primes.
+        The grouped digit lifted to target t is then
+        Σ_{k ∈ group g} shoup_mul(barrett(d_k·ihat_k, p_t), W[k,t]) —
+        the fast-base-conversion representative D̃_g ≡ d mod Q_g with
+        D̃_g < G·Q_g, whose extra multiples of Q_g only add bounded
+        rounding noise through the mod-down (standard hybrid/RNS gadget
+        analysis).
+        """
+        if level not in self._digit_tables:
+            G = self.digit_group
+            l = level
+            targets = list(range(l)) + list(
+                range(self.L, self.L + self.n_special)
+            )
+            ihat = np.ones((l, 1), dtype=np.uint32)
+            W = np.zeros((l, len(targets), 1), dtype=np.uint32)
+            Ws = np.zeros((l, len(targets), 1), dtype=np.uint32)
+            for k in range(l):
+                g0 = (k // G) * G
+                members = range(g0, min(g0 + G, l))
+                qk = self.primes[k]
+                Qk = 1  # Q_g / q_k over live members
+                for m in members:
+                    if m != k:
+                        Qk *= self.primes[m]
+                ihat[k, 0] = pow(Qk % qk, -1, qk)
+                for ti, tr in enumerate(targets):
+                    pt = self.primes[tr]
+                    w = Qk % pt
+                    W[k, ti, 0] = w
+                    Ws[k, ti, 0] = (w << 32) // pt
+            self._digit_tables[level] = (
+                jnp.asarray(ihat), jnp.asarray(W), jnp.asarray(Ws)
+            )
+        return self._digit_tables[level]
+
+
+def _resolve_digit_group(requested, sec_level: int, n: int, gen):
+    """Resolve the key-switch digit grouping for a scheme context.
+
+    ``gen(ns) -> (data_primes, special_primes)`` generates the chain with
+    ``ns`` special primes.  ``requested`` None = auto: prefer G=2 (2-prime
+    special modulus) when the chain has >= 4 data limbs and — at
+    sec_level 128 — the extra special prime still fits the HE-standard
+    bound (checked on the EXACT generated bit widths); otherwise fall back
+    to the ungrouped G=1 chain.  An explicit ``requested`` G is honored
+    as given with G special primes (Context's security check still
+    applies and may refuse it).
+    """
+    if requested is not None:
+        G = int(requested)
+        data, specials = gen(max(G, 1))
+        return G, data, specials
+    data, specials = gen(2)
+    total = sum(p.bit_length() for p in data + specials)
+    # Auto mode only upgrades production (sec-128) contexts: tiny
+    # sec_level=0 test chains keep the ungrouped layout unless a test
+    # opts in explicitly with digit_group=2.
+    if sec_level == 128 and len(data) >= 4 and total <= max_coeff_bits_128(n):
+        return 2, data, specials
+    data, specials = gen(1)
+    return 1, data, specials
+
 
 class CkksContext(Context):
     def __init__(self, params: CkksParams):
@@ -211,26 +319,32 @@ class CkksContext(Context):
         g = params.rescale_group
         if params.scale_bits // g > 30:
             raise ValueError("per-prime scale bits must be <= 30")
+
         # Special/bottom primes large (near 2^30) for headroom; scale primes
         # nearest 2^(scale_bits/g), alternating above/below so each group's
         # product stays close to 2^scale_bits.  The 30-bit cap (not 31)
         # keeps every plan on the Harvey lazy-reduction NTT path
         # (ops/ntt.py: butterfly values in [0,4p) need 4p < 2^32).
-        big = primegen.gen_ntt_primes(
-            params.bottom_primes + 1, 30, two_n
-        )
-        special = big[0]
-        bottom = tuple(big[1:])
-        scale_primes = tuple(
-            primegen.gen_primes_near(
-                params.mult_depth * g, params.scale_bits // g, two_n,
-                avoid=tuple(big),
+        def gen(ns: int):
+            big = primegen.gen_ntt_primes(
+                params.bottom_primes + ns, 30, two_n
             )
+            specials = tuple(big[:ns])
+            bottom = tuple(big[ns:])
+            scale_primes = tuple(
+                primegen.gen_primes_near(
+                    params.mult_depth * g, params.scale_bits // g, two_n,
+                    avoid=tuple(big),
+                )
+            )
+            # Chain order: bottom primes first (never dropped), then scale
+            # primes (dropped in groups of g, last-first, by rescale).
+            return bottom + scale_primes, specials
+
+        G, data, specials = _resolve_digit_group(
+            params.digit_group, params.sec_level, n, gen
         )
-        # Chain order: bottom primes first (never dropped), then scale
-        # primes (dropped in groups of g, last-first, by rescale).
-        data = bottom + scale_primes
-        super().__init__("ckks", n, data, special, params.sec_level)
+        super().__init__("ckks", n, data, specials, params.sec_level, G)
         self.params = params
         self.scale = float(2 ** params.scale_bits)
         self.rescale_group = g
@@ -249,12 +363,18 @@ class BfvContext(Context):
         t = primegen.gen_primes_near(
             1, params.plain_modulus_bits, two_n
         )[0]
+
         # 30-bit cap: see CkksContext (Harvey lazy-reduction NTT path).
-        big = primegen.gen_ntt_primes(1 + params.n_data_primes, 30, two_n,
-                                      avoid=(t,))
-        special = big[0]
-        data = tuple(big[1:])
-        super().__init__("bfv", n, data, special, params.sec_level)
+        def gen(ns: int):
+            big = primegen.gen_ntt_primes(
+                ns + params.n_data_primes, 30, two_n, avoid=(t,)
+            )
+            return tuple(big[ns:]), tuple(big[:ns])
+
+        G, data, specials = _resolve_digit_group(
+            params.digit_group, params.sec_level, n, gen
+        )
+        super().__init__("bfv", n, data, specials, params.sec_level, G)
         self.params = params
         self.t = t
         q = self.q_at_level(self.L)
@@ -292,6 +412,7 @@ def make_ckks_context(
     rescale_group: int = 2,
     bottom_primes: int = 2,
     sec_level: int = 128,
+    digit_group: Optional[int] = None,
 ) -> CkksContext:
     return CkksContext(
         CkksParams(
@@ -301,6 +422,7 @@ def make_ckks_context(
             rescale_group,
             bottom_primes,
             sec_level,
+            digit_group,
         )
     )
 
@@ -312,6 +434,7 @@ def make_bfv_context(
     plain_modulus_bits: int = 20,
     n_data_primes: int = 4,
     sec_level: int = 128,
+    digit_group: Optional[int] = None,
 ) -> BfvContext:
     return BfvContext(
         BfvParams(
@@ -320,5 +443,6 @@ def make_bfv_context(
             plain_modulus_bits,
             n_data_primes,
             sec_level,
+            digit_group,
         )
     )

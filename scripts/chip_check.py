@@ -9,6 +9,10 @@ Usage:  python scripts/chip_check.py [N] [LIMBS] [ROWS]
         python scripts/chip_check.py ops [N]   # evaluator-op microbench
                                                # (BFV multiply, rotate vs
                                                # hoisted rotate_sum)
+        python scripts/chip_check.py roofline [N]  # measured single-chip
+                                               # int-op ceiling vs what the
+                                               # NTT achieves (BASELINE.md
+                                               # roofline note source)
 """
 
 from __future__ import annotations
@@ -100,9 +104,134 @@ def ops_bench(n: int) -> None:
     )
 
 
+def roofline(n: int) -> None:
+    """Measured speed-of-light check for the NTT (BASELINE.md roofline
+    note): compare the butterfly rate the four-step NTT achieves against
+    the chip's raw issue rate for the same primitive, measured as a
+    data-dependent chain of Harvey lazy butterflies on resident VMEM-sized
+    tiles (pure compute probe — the chained values leave the lazy range,
+    which changes results, not op count or timing)."""
+    import json
+
+    from reference_seal_backend_tpu.ops import modops
+
+    print("backend:", jax.default_backend())
+    nl = 8  # the N=16384 depth-2 production stack: 6 data + 2 special
+    primes = tuple(primegen.gen_ntt_primes(nl, 30, 2 * n))
+    plan = ntt.make_plan(n, primes)
+    rng = np.random.default_rng(0)
+    rows = 64
+    xb = jnp.asarray(
+        np.stack(
+            [rng.integers(0, p, (rows, n)).astype(np.uint32) for p in primes],
+            axis=1,
+        )
+    )
+    fwd = jax.jit(lambda v: plan._fwd_mat(v, 0))
+    dt_row = _time(fwd, xb, iters=50) / (rows * nl)
+    butterflies_row = (n // 2) * int(np.log2(n))
+    ntt_bps = butterflies_row / dt_row
+
+    # raw chained-butterfly probe: x <- reduce_2p(x + lazy(x·w)), the same
+    # shoup-lazy multiply + add/select mix as one NTT butterfly leg, with a
+    # serial dependence so XLA cannot batch the chain away.
+    p = jnp.asarray(
+        np.array([[modops.mont_consts(q)["p"]] for q in primes], np.uint32)
+    )
+    w = (p // np.uint32(3)) | np.uint32(1)
+    ws = jnp.asarray(
+        np.array(
+            [[((int(wi) << 32) // int(pi))] for wi, pi in
+             zip(np.asarray(w).ravel(), primes)],
+            np.uint32,
+        )
+    )
+    p2 = p + p
+    chain = 64
+
+    def probe(x):
+        for _ in range(chain):
+            t = modops.shoup_mul_lazy(x, w, ws, p)
+            x = modops.reduce_2p(x + t, p2)
+        return x
+
+    probe_j = jax.jit(probe)
+    raw_bps = 0.0
+    for r in (4, 8, 16, 32, 64):
+        dt = _time(probe_j, xb[:r], iters=20)
+        raw_bps = max(raw_bps, r * nl * n * chain / dt)
+    out = {
+        "n": n,
+        "stack_limbs": nl,
+        "ntt_us_per_row": round(dt_row * 1e6, 3),
+        "butterflies_per_row": butterflies_row,
+        "ntt_butterflies_per_sec": float(f"{ntt_bps:.4g}"),
+        "raw_chained_butterflies_per_sec": float(f"{raw_bps:.4g}"),
+        "ntt_fraction_of_raw_issue_rate": round(ntt_bps / raw_bps, 3),
+    }
+    print(json.dumps(out))
+
+
+def groupcmp(n: int) -> None:
+    """Digit grouping G=1 vs G=2 on the key-switch-bound ops (round 3):
+    same workload semantics, measured on the real chip with correctness
+    gates (decrypt-compare) before timing."""
+    from dataclasses import replace as _rep
+
+    from reference_seal_backend_tpu.evaluator.eval import Evaluator
+    from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
+    from reference_seal_backend_tpu.schemes.params import make_ckks_context
+
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+    batch = 8
+    for G in (1, 2):
+        ctx = make_ckks_context(
+            poly_modulus_degree=n, mult_depth=2, digit_group=G
+        )
+        ks = keys_mod.keygen(
+            ctx,
+            seed=2,
+            galois_elts=[pow(5, s, 2 * ctx.n) for s in range(1, 8)],
+            need_relin=True,
+        )
+        enc = ckks.CkksEncoder(ctx)
+        encr = ckks.CkksEncryptor(ctx, ks, seed=2)
+        decr = ckks.CkksDecryptor(ctx, ks)
+        ev = Evaluator(ctx, ks)
+        va = rng.uniform(-1, 1, ctx.slots)
+        ct = encr.encrypt_pt(enc.encode(va))
+        ctb = _rep(ct, data=jnp.broadcast_to(ct.data, (batch,) + ct.data.shape))
+
+        rot = jax.jit(lambda c: ev.rotate(c, 1))
+        out = rot(ctb)
+        err = np.max(np.abs(np.real(
+            decr.decrypt(_rep(out, data=out.data[0]))) - np.roll(va, -1)))
+        assert err < 5e-4, err
+        dt_rot = _time(rot, ctb) / batch
+
+        mrr = jax.jit(
+            lambda x: ev.rescale_to_next(ev.relinearize(ev.multiply(x, x)))
+        )
+        dt_mrr = _time(mrr, ctb) / batch
+        rsum = jax.jit(lambda c: ev.rotate_sum(c, list(range(8))))
+        dt_rs = _time(rsum, ctb) / batch
+        print(
+            f"G={G} (ns={ctx.n_special}, dig={ctx.dig_count(ctx.L)}): "
+            f"rotate {dt_rot*1e6:.0f} us, mult+relin+rescale "
+            f"{dt_mrr*1e6:.0f} us, rotate_sum8 {dt_rs*1e6:.0f} us"
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ops":
         ops_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 8192)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "roofline":
+        roofline(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "groupcmp":
+        groupcmp(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     nl = int(sys.argv[2]) if len(sys.argv) > 2 else 7

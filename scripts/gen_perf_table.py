@@ -39,7 +39,10 @@ END = "<!-- BENCH_TABLE_END -->"
 
 def build_table(result: dict) -> str:
     flat = {result["metric"]: result["value"], **result.get("extras", {})}
-    lines = ["| metric | value | notes |", "|---|---|---|"]
+    lines = []
+    if result.get("date"):
+        lines.append(f"*Run date: {result['date']} (single real chip).*\n")
+    lines += ["| metric | value | notes |", "|---|---|---|"]
     head_note = (
         f"{result['vs_baseline']}x the SEAL single-core estimate "
         f"(target: 100x)"

@@ -75,7 +75,9 @@ def test_config_sample_size_honored(tmp_path):
     }
     cfg_path.write_text(yaml.safe_dump(cfg))
     names, per_benchmark, seed, min_ms = runner.load_config(str(cfg_path))
-    assert seed == 77 and min_ms == 0
+    # absent/zero default_min_test_time -> None (defer to each
+    # descriptor's registered min_test_time_ms)
+    assert seed == 77 and min_ms is None
     assert per_benchmark["ckks_eltwise_add_offline"]["sample_size"] == 2
     results = runner.run_all(
         names, seed=seed, per_benchmark=per_benchmark, verbose=False

@@ -74,6 +74,95 @@ def test_sp_workload_mult_relin_rotate_rescale_bit_exact(setup):
     assert abs(got.scale - want.scale) < 1e-6 * want.scale
 
 
+def test_sp_plain_ops_bit_exact(setup):
+    ctx, ks, ev, spe, a, b = setup
+    enc = ckks.CkksEncoder(ctx)
+    rng = np.random.default_rng(9)
+    pt = enc.encode(rng.uniform(-1, 1, ctx.slots))
+    want_m = ev.multiply_plain(a, pt)
+    want_a = ev.add_plain(a, pt)
+    pt_sp = spe.shard_pt(pt)
+    got_m = spe.unshard(jax.jit(spe.multiply_plain)(spe.shard(a), pt_sp))
+    got_a = spe.unshard(jax.jit(spe.add_plain)(spe.shard(a), pt_sp))
+    np.testing.assert_array_equal(np.asarray(got_m.data), np.asarray(want_m.data))
+    assert got_m.scale == want_m.scale
+    np.testing.assert_array_equal(np.asarray(got_a.data), np.asarray(want_a.data))
+
+
+@pytest.fixture(scope="module")
+def dot_setup():
+    """Keys for the dot-product n=100 BSGS accumulate (VERDICT r2 item 3):
+    baby steps 1..9 plus giant strides 10..90."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from reference_seal_backend_tpu.evaluator import composite
+
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
+    steps = composite.rotations_for_accumulate(100, ctx.slots)
+    assert len(steps) == 18  # BSGS split of 100: 9 baby + 9 giant
+    ks = keys_mod.keygen(
+        ctx,
+        seed=13,
+        galois_elts=[pow(5, s, 2 * ctx.n) for s in steps],
+        need_relin=True,
+    )
+    enc = ckks.CkksEncoder(ctx)
+    encryptor = ckks.CkksEncryptor(ctx, ks, seed=23)
+    rng = np.random.default_rng(31)
+    va = np.zeros(ctx.slots)
+    vb = np.zeros(ctx.slots)
+    va[:100] = rng.uniform(-1, 1, 100)
+    vb[:100] = rng.uniform(-1, 1, 100)
+    a = encryptor.encrypt_pt(enc.encode(va))
+    b = encryptor.encrypt_pt(enc.encode(vb))
+    ev = Evaluator(ctx, ks)
+    mesh = mesh_mod.make_mesh(8, ("sp",), shape=(8,))
+    spe = sp_eval.SpEvaluator(ctx, ks, mesh)
+    return ctx, ev, spe, a, b, va, vb
+
+
+def test_sp_dot_product_workload_bit_exact(dot_setup):
+    """The ENTIRE dot-product operate pipeline (multiply → relinearize →
+    rescale → BSGS accumulate, models/dot_product.py _operate_impl)
+    sp-sharded over 8 devices, bit-exact vs single-device — including the
+    hoisted rotate_sum (one shared digit lift + one mod-down per BSGS
+    pass) under shard_map."""
+    from reference_seal_backend_tpu.evaluator import composite
+
+    ctx, ev, spe, a, b, va, vb = dot_setup
+    want = composite.accumulate(
+        ev, ev.rescale_to_next(ev.relinearize(ev.multiply(a, b))), 100
+    )
+
+    def pipeline(x, y):
+        prod = spe.rescale_to_next(spe.relinearize(spe.multiply(x, y)))
+        return composite.accumulate(spe, prod, 100)
+
+    got = spe.unshard(jax.jit(pipeline)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.level == want.level
+
+
+def test_sp_dot_product_collectives(dot_setup):
+    """The sharded dot pipeline must route its NTT sweeps over the mesh:
+    count the all-to-alls of the compiled HLO."""
+    from reference_seal_backend_tpu.evaluator import composite
+
+    ctx, ev, spe, a, b, va, vb = dot_setup
+
+    def pipeline(x, y):
+        prod = spe.rescale_to_next(spe.relinearize(spe.multiply(x, y)))
+        return composite.accumulate(spe, prod, 100)
+
+    stats = sp_eval.collective_stats(
+        jax.jit(pipeline), spe.shard(a), spe.shard(b)
+    )
+    # relin (3+) + rescale (2 groups × 2) + two hoisted rotate_sum passes
+    # (digit lift inv+fwd×2 + mod-down each)
+    assert stats["all-to-all"] >= 10
+    assert stats["a2a_bytes"] > 0
+
+
 def test_sp_collectives_counted(setup):
     """The compiled sharded pipeline must actually communicate: at least
     one all-to-all per NTT phase transition, with measured payload bytes

@@ -1,0 +1,107 @@
+"""Workload-layer sp execution: the ``sp_shard`` benchmark parameter runs
+an entire registered CKKS benchmark with every polynomial's coefficient
+axis sharded over the mesh (parallel/sp_eval.py duck-typed as the
+benchmark's evaluator), through the full 7-step pipeline AND the runner —
+closing the "no workload class or runner path executes sp-sharded" gap
+(VERDICT r2 §2.4).
+
+Decoded results must be BIT-IDENTICAL to the unsharded benchmark (same
+keys, same arithmetic order, sharded NTT is stage-exact)."""
+
+import numpy as np
+import pytest
+import jax
+
+from reference_seal_backend_tpu.engine.descriptor import (
+    Category,
+    Scheme,
+    Workload,
+)
+from reference_seal_backend_tpu.engine.registry import Engine
+
+N = 2048
+
+
+def _find(engine, workload, category, scheme=Scheme.CKKS):
+    return next(
+        d
+        for d in engine.descriptors
+        if d.workload is workload
+        and d.category is category
+        and d.scheme is scheme
+    )
+
+
+def _run_pipeline(bench, inputs):
+    h = bench.load(bench.encrypt(bench.encode(inputs)))
+    return bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+
+
+@pytest.fixture(autouse=True)
+def need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+
+def test_dot_product_sp_vs_single_device():
+    engine = Engine()
+    desc = _find(engine, Workload.DOT_PRODUCT, Category.LATENCY)
+    base_params = {"poly_modulus_degree": N, "sec_level": 0, "n": 100}
+    rng = np.random.default_rng(1234)
+    va = rng.uniform(-1, 1, (1, 100))
+    vb = rng.uniform(-1, 1, (1, 100))
+    plain = engine.create_benchmark(desc, dict(base_params))
+    sharded = engine.create_benchmark(desc, dict(base_params, sp_shard=8))
+    (want,) = _run_pipeline(plain, [va, vb])
+    (got,) = _run_pipeline(sharded, [va, vb])
+    np.testing.assert_array_equal(got, want)  # bit-identical decode
+    assert abs(got[0] - va[0] @ vb[0]) < 5e-4
+
+
+def test_logreg_sp_vs_single_device():
+    """The flagship workload (dots -> collapse -> bias -> Horner, depth-6
+    chain) fully sp-sharded: exercises multiply_plain/add_plain with flat
+    plaintexts, mod_switch_to, collapse's doubling merge and Horner under
+    shard_map."""
+    engine = Engine()
+    desc = _find(engine, Workload.LOGREG_POLY_D3, Category.OFFLINE)
+    base_params = {
+        "poly_modulus_degree": N,
+        "sec_level": 0,
+        "n": 16,
+        "batch_size": 4,
+    }
+    rng = np.random.default_rng(7)
+    w = rng.uniform(-1, 1, 16)
+    b = float(rng.uniform(-1, 1))
+    x = rng.uniform(-1, 1, (4, 16))
+    plain = engine.create_benchmark(desc, dict(base_params))
+    sharded = engine.create_benchmark(desc, dict(base_params, sp_shard=8))
+    (want,) = _run_pipeline(plain, [w, b, x])
+    (got,) = _run_pipeline(sharded, [w, b, x])
+    np.testing.assert_array_equal(got, want)
+    z = x @ w + b
+    sig = 0.5 + 0.15012 * z - 0.0015930078125 * z**3
+    assert np.max(np.abs(got - sig)) < 5e-4
+
+
+def test_runner_executes_sp_sharded():
+    """The runner path: --sp_shard flows through params and the benchmark
+    passes its ground-truth validation sp-sharded."""
+    from reference_seal_backend_tpu.engine import runner
+
+    engine = Engine()
+    desc = _find(engine, Workload.ELTWISE_MULT, Category.LATENCY)
+    res = runner.run_benchmark(
+        engine,
+        desc,
+        seed=1234,
+        params={
+            "poly_modulus_degree": N,
+            "sec_level": 0,
+            "n": 64,
+            "sp_shard": 8,
+        },
+    )
+    assert res.passed, res.error
+    assert res.description["sp_shard"] == "8"
