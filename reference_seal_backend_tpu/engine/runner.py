@@ -366,6 +366,11 @@ def main(argv=None):
     ap.add_argument("--min_test_time_ms", type=float, default=None,
                     help="minimum timed-loop duration for the operate "
                     "step (the harness's min_test_time_ms)")
+    ap.add_argument("--sp_shard", type=int, default=0,
+                    help="run CKKS benchmarks with the coefficient axis "
+                    "sharded over this many devices (sp mesh; use with "
+                    "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                    "platform_device_count=K for virtual validation)")
     ap.add_argument("--config_file", default=None,
                     help="YAML benchmark configuration (see --dump)")
     ap.add_argument("--dump", action="store_true",
@@ -385,6 +390,8 @@ def main(argv=None):
         params["poly_modulus_degree"] = args.poly_modulus_degree
     if args.sec_level != 128:
         params["sec_level"] = args.sec_level
+    if args.sp_shard:
+        params["sp_shard"] = args.sp_shard
 
     names = args.benchmarks
     per_benchmark = None

@@ -119,6 +119,22 @@ class HEBenchmark(abc.ABC):
             )
             self.decryptor = bfv_mod.BfvDecryptor(self.ctx, self.keys)
         self.ev = Evaluator(self.ctx, self.keys)
+        # sp execution: ``sp_shard: k`` runs this benchmark with every
+        # polynomial's coefficient axis sharded over a k-device ("sp",)
+        # mesh — the SpEvaluator duck-types as self.ev, load/store
+        # shard/unshard, and the workload's operate graph is unchanged
+        # (parallel/sp_eval.py; CKKS only).
+        self.sp_shard = int(p.get("sp_shard", 0) or 0)
+        if self.sp_shard:
+            if descriptor.scheme is not Scheme.CKKS:
+                raise ValueError("sp_shard supports CKKS benchmarks only")
+            from reference_seal_backend_tpu.parallel import mesh as mesh_mod
+            from reference_seal_backend_tpu.parallel import sp_eval
+
+            sp_mesh = mesh_mod.make_mesh(
+                self.sp_shard, ("sp",), shape=(self.sp_shard,)
+            )
+            self.ev = sp_eval.SpEvaluator(self.ctx, self.keys, sp_mesh)
 
     # ------------------------------------------------------------------ #
 
@@ -150,10 +166,23 @@ class HEBenchmark(abc.ABC):
         ...
 
     def load(self, encrypted: Handle) -> Handle:
-        """Host -> device (HBM) placement of every array in the payload."""
-        payload = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x), encrypted.payload
-        )
+        """Host -> device (HBM) placement of every array in the payload;
+        under sp_shard, ciphertexts are placed SHARDED over the sp mesh
+        (plaintexts stay flat — the SpEvaluator relayouts them inline)."""
+        if self.sp_shard:
+            from reference_seal_backend_tpu.schemes.core import Ciphertext
+
+            payload = jax.tree_util.tree_map(
+                lambda x: self.ev.shard(x)
+                if isinstance(x, Ciphertext)
+                else jax.tree_util.tree_map(jax.device_put, x),
+                encrypted.payload,
+                is_leaf=lambda x: isinstance(x, Ciphertext),
+            )
+        else:
+            payload = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x), encrypted.payload
+            )
         return Handle(tag=encrypted.tag, payload=payload, meta=encrypted.meta)
 
     @abc.abstractmethod
@@ -161,10 +190,24 @@ class HEBenchmark(abc.ABC):
         """The timed homomorphic computation (jitted)."""
 
     def store(self, result: Handle) -> Handle:
-        """Device -> host readback of result arrays."""
+        """Device -> host readback of result arrays (sp results are
+        unsharded back to the flat single-device layout first)."""
+        payload = result.payload
+        if self.sp_shard:
+            from reference_seal_backend_tpu.parallel.sp_eval import (
+                SpCiphertext,
+            )
+
+            payload = jax.tree_util.tree_map(
+                lambda x: self.ev.unshard(x)
+                if isinstance(x, SpCiphertext)
+                else x,
+                payload,
+                is_leaf=lambda x: isinstance(x, SpCiphertext),
+            )
         payload = jax.tree_util.tree_map(
             lambda x: np.asarray(x) if hasattr(x, "device") else x,
-            result.payload,
+            payload,
         )
         return Handle(tag=result.tag, payload=payload, meta=result.meta)
 
@@ -213,6 +256,9 @@ class HEBenchmark(abc.ABC):
             desc["scale_bits"] = str(self.params.get("scale_bits", 52))
         else:
             desc["plain_modulus"] = str(ctx.t)
+        desc["key_switch_digit_group"] = str(ctx.digit_group)
+        if self.sp_shard:
+            desc["sp_shard"] = str(self.sp_shard)
         return desc
 
     def block(self, handle: Handle) -> Handle:

@@ -109,18 +109,28 @@ def _transpose_a2a(x, axis_name):
     )  # [..., n2, n1/D]
 
 
-def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0):
+def _specs(ndim: int, axis: str, batch_axes) -> P:
+    """shard_map spec: leading batch dims on ``batch_axes`` (dp×sp combined
+    meshes), middle dims replicated, last (space) dim on ``axis``."""
+    mid = ndim - 1 - len(batch_axes)
+    return P(*batch_axes, *([None] * mid), axis)
+
+
+def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0,
+        batch_axes: tuple = ()):
     """Forward NTT of matrix-view residues [..., l, n1, n2], n2 sharded on
     mesh axis ``axis``; returns transposed layout [..., l, n2, n1] sharded
-    on its last axis.  Bit-exact vs NttPlan._fwd_mat (see tests)."""
+    on its last axis.  ``batch_axes`` names mesh axes carrying the leading
+    batch dims (data parallelism composed with sp).  Bit-exact vs
+    NttPlan._fwd_mat (see tests)."""
     d = mesh.shape[axis]
     n1_loc = plan.n1 // d
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(*([None] * (x.ndim - 1)), axis),
-        out_specs=P(*([None] * (x.ndim - 1)), axis),
+        in_specs=_specs(x.ndim, axis, batch_axes),
+        out_specs=_specs(x.ndim, axis, batch_axes),
     )
     def body(x_loc):
         n2_loc = x_loc.shape[-1]
@@ -136,7 +146,8 @@ def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0):
     return body(x)
 
 
-def inv(plan, xt: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0):
+def inv(plan, xt: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0,
+        batch_axes: tuple = ()):
     """Inverse NTT from transposed layout [..., l, n2, n1] (n1 sharded) back
     to matrix view [..., l, n1, n2] (n2 sharded)."""
     d = mesh.shape[axis]
@@ -146,8 +157,8 @@ def inv(plan, xt: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(*([None] * (xt.ndim - 1)), axis),
-        out_specs=P(*([None] * (xt.ndim - 1)), axis),
+        in_specs=_specs(xt.ndim, axis, batch_axes),
+        out_specs=_specs(xt.ndim, axis, batch_axes),
     )
     def body(xt_loc):
         nl = xt_loc.shape[-3]

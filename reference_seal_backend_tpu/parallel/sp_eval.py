@@ -96,12 +96,17 @@ class SpEvaluator:
 
     def __init__(
         self, ctx: Context, keys: Optional[KeySet], mesh: Mesh,
-        axis: str = "sp",
+        axis: str = "sp", batch_axes: Tuple[str, ...] = (),
     ):
+        """``batch_axes`` names mesh axes carrying the ciphertexts' leading
+        batch dims — a dp×sp combined mesh shards the Offline batch on
+        ``dp`` while every polynomial's coefficient axis shards on ``sp``
+        (the OpenMP-loop and sequence-parallel analogues composed)."""
         self.ctx = ctx
         self.keys = keys
         self.mesh = mesh
         self.axis = axis
+        self.batch_axes = tuple(batch_axes)
         if ctx.digit_group != 1 or ctx.n_special != 1:
             # Grouped digit decomposition is not yet threaded through the
             # sharded key-switch; build sp contexts with digit_group=1.
@@ -123,7 +128,8 @@ class SpEvaluator:
         """Flat single-device ciphertext -> sp layout, placed on the mesh
         (the 'load' step of the sharded pipeline)."""
         t = to_sp_layout(ct.data, self.n1, self.n2)
-        spec = P(*([None] * (t.ndim - 1)), self.axis)
+        nb = len(self.batch_axes)
+        spec = P(*self.batch_axes, *([None] * (t.ndim - 1 - nb)), self.axis)
         t = jax.device_put(t, NamedSharding(self.mesh, spec))
         return SpCiphertext(data=t, level=ct.level, scale=ct.scale)
 
@@ -148,13 +154,25 @@ class SpEvaluator:
         p = _c3(self.ctx.p[: a.level])
         return replace(a, data=modops.mod_add(a.data, b.data, p))
 
+    def _pt_sp(self, pt: Plaintext) -> jnp.ndarray:
+        """Plaintext data in sp layout: accepts either the flat
+        single-device form [..., l, N] (relayouted inline — a
+        reshape+transpose XLA folds into the consuming elementwise op) or
+        an already-sp [..., l, n2, n1].  Flat acceptance is what lets the
+        composite primitives (collapse's one-hot mask, Horner's
+        coefficient encodes) duck-type onto this evaluator unchanged."""
+        d = pt.data
+        if d.shape[-1] == self.n1 * self.n2:
+            return to_sp_layout(d, self.n1, self.n2)
+        return d
+
     def add_plain(self, a: SpCiphertext, pt: Plaintext) -> SpCiphertext:
         """evaluator/eval.py add_plain in sp layout (CKKS only — the sp
         path is the CKKS workload pipeline)."""
         if pt.level != a.level:
             raise ValueError("plaintext level mismatch")
         p = _c3(self.ctx.p[: a.level])
-        c0 = modops.mod_add(a.data[..., 0, :, :, :], pt.data, p)
+        c0 = modops.mod_add(a.data[..., 0, :, :, :], self._pt_sp(pt), p)
         data = jnp.concatenate(
             [c0[..., None, :, :, :], a.data[..., 1:, :, :, :]], axis=-4
         )
@@ -166,12 +184,39 @@ class SpEvaluator:
         l = a.level
         p = _c3(self.ctx.p[:l])
         pni = _c3(self.ctx.p_neg_inv[:l])
-        data = modops.mont_mul(a.data, pt.data, p, pni)
+        data = modops.mont_mul(a.data, self._pt_sp(pt), p, pni)
         return replace(a, data=data, scale=a.scale * pt.scale)
+
+    def sub(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
+        p = _c3(self.ctx.p[: a.level])
+        return replace(a, data=modops.mod_sub(a.data, b.data, p))
+
+    def negate(self, a: SpCiphertext) -> SpCiphertext:
+        p = _c3(self.ctx.p[: a.level])
+        return replace(a, data=modops.mod_neg(a.data, p))
+
+    # -- level / scale -----------------------------------------------------
+
+    def mod_switch_to(self, a: SpCiphertext, level: int) -> SpCiphertext:
+        if level > a.level:
+            raise ValueError("cannot mod-switch up")
+        if level < 1:
+            raise ValueError("cannot drop below one live prime")
+        return replace(a, data=a.data[..., :level, :, :], level=level)
+
+    def mod_switch_plain_to(self, pt: Plaintext, level: int) -> Plaintext:
+        if level > pt.level:
+            raise ValueError("cannot mod-switch plaintext up")
+        if pt.data.shape[-1] == self.n1 * self.n2:  # flat layout
+            return replace(pt, data=pt.data[..., :level, :], level=level)
+        return replace(pt, data=pt.data[..., :level, :, :], level=level)
 
     def multiply(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
         """Karatsuba ct-ct multiply, op-for-op evaluator/eval.py
-        Evaluator.multiply (bit-exact)."""
+        Evaluator.multiply (bit-exact).  CKKS NTT-dyadic only — the BEHZ
+        BFV multiply is not yet threaded through the sharded base plans."""
+        if self.ctx.scheme == "bfv":
+            raise NotImplementedError("sp multiply supports CKKS only")
         l = a.level
         p = _c3(self.ctx.p[:l])
         pni = _c3(self.ctx.p_neg_inv[:l])
@@ -200,7 +245,7 @@ class SpEvaluator:
         NTT Montgomery -> [..., l, l+1, n2, n1] normal form."""
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
         plan = ctx.plan
-        d_mat = sharded_ntt.inv(plan, d, mesh, ax, lo=0)  # [..., l, n1, n2]
+        d_mat = sharded_ntt.inv(plan, d, mesh, ax, lo=0, batch_axes=self.batch_axes)  # [..., l, n1, n2]
         d_norm = modops.from_mont(
             d_mat, _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
         )
@@ -208,9 +253,10 @@ class SpEvaluator:
         lifted = modops.barrett_reduce_u32(
             d_norm[..., :, None, :, :], p_t, mu_t
         )  # [..., l_src, l+1, n1, n2]
-        data_part = sharded_ntt.fwd(plan, lifted[..., :l, :, :], mesh, ax, lo=0)
+        data_part = sharded_ntt.fwd(plan, lifted[..., :l, :, :], mesh, ax, lo=0, batch_axes=self.batch_axes)
         sp_part = sharded_ntt.fwd(
-            plan, lifted[..., l:, :, :], mesh, ax, lo=ctx.sp_row
+            plan, lifted[..., l:, :, :], mesh, ax, lo=ctx.sp_row,
+            batch_axes=self.batch_axes,
         )
         return jnp.concatenate([data_part, sp_part], axis=-3)
 
@@ -220,7 +266,7 @@ class SpEvaluator:
         distributed."""
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
         sp = ctx.sp_row
-        v_mat = sharded_ntt.inv(plan := ctx.plan, x[..., l:, :, :], mesh, ax, lo=sp)
+        v_mat = sharded_ntt.inv(plan := ctx.plan, x[..., l:, :, :], mesh, ax, lo=sp, batch_axes=self.batch_axes)
         v = modops.from_mont(
             v_mat, _c3(ctx.p[sp : sp + 1]), _c3(ctx.p_neg_inv[sp : sp + 1])
         )  # [..., 1, n1, n2] in [0, P)
@@ -230,7 +276,7 @@ class SpEvaluator:
             flag * ctx.div_mod[sp, :l][:, None, None],
             _c3(ctx.p[:l]),
         )
-        w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0)  # [..., l, n2, n1]
+        w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
         p = _c3(ctx.p[:l])
         sel = lambda t: t[sp, :l][:, None, None]
         return modops.mod_sub(
@@ -443,7 +489,8 @@ class SpEvaluator:
         for _ in range(group):
             drop = l - 1
             v_mat = sharded_ntt.inv(
-                ctx.plan, data[..., drop:l, :, :], mesh, ax, lo=drop
+                ctx.plan, data[..., drop:l, :, :], mesh, ax, lo=drop,
+                batch_axes=self.batch_axes,
             )
             v = modops.from_mont(
                 v_mat,
@@ -458,7 +505,7 @@ class SpEvaluator:
                 flag * ctx.div_mod[drop, :drop][:, None, None],
                 _c3(ctx.p[:drop]),
             )
-            w_ntt = sharded_ntt.fwd(ctx.plan, w, mesh, ax, lo=0)
+            w_ntt = sharded_ntt.fwd(ctx.plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
             p = _c3(ctx.p[:drop])
             sel = lambda t: t[drop, :drop][:, None, None]
             data = modops.mod_sub(

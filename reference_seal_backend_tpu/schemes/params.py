@@ -279,9 +279,16 @@ class Context:
                     w = Qk % pt
                     W[k, ti, 0] = w
                     Ws[k, ti, 0] = (w << 32) // pt
-            self._digit_tables[level] = (
-                jnp.asarray(ihat), jnp.asarray(W), jnp.asarray(Ws)
-            )
+            # Cached across jit traces — must hold CONCRETE arrays even
+            # when first requested from inside a trace (a tracer stored
+            # here would leak into later retraces; same pattern as
+            # evaluator/eval.py _hoisted_key).
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._digit_tables[level] = (
+                    jnp.asarray(ihat), jnp.asarray(W), jnp.asarray(Ws)
+                )
         return self._digit_tables[level]
 
 

@@ -223,6 +223,67 @@ def groupcmp(n: int) -> None:
         )
 
 
+def groupparts(n: int) -> None:
+    """Stage-level timing of the key-switch for G=1 vs G=2 (diagnose the
+    groupcmp regression): digit lift alone, full key_switch, mod-down."""
+    from dataclasses import replace as _rep
+
+    from reference_seal_backend_tpu.evaluator.eval import Evaluator
+    from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
+    from reference_seal_backend_tpu.schemes.params import make_ckks_context
+
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+    batch = 8
+    for G in (1, 2):
+        ctx = make_ckks_context(
+            poly_modulus_degree=n, mult_depth=2, digit_group=G
+        )
+        ks = keys_mod.keygen(ctx, seed=2, need_relin=True)
+        enc = ckks.CkksEncoder(ctx)
+        encr = ckks.CkksEncryptor(ctx, ks, seed=2)
+        ev = Evaluator(ctx, ks)
+        ct = encr.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+        d = jnp.broadcast_to(
+            ct.data[1], (batch,) + ct.data[1].shape
+        )  # [B, L, N]
+        l = ctx.L
+        lift = jax.jit(lambda x: ev._hoisted_digits(x, l))
+        dt_lift = _time(lift, d) / batch
+        ksw = jax.jit(lambda x: ev.key_switch(x, ks.relin, l))
+        dt_ks = _time(ksw, d) / batch
+        dig = lift(d)
+        p_t, _, _ = ev._switch_targets(l)
+        inner = jax.jit(
+            lambda dg: ev._mod_down_special(
+                _mod_sum_local(
+                    modops_shoup(dg, ev._cat_key(ks.relin.b, l),
+                                 ev._cat_key(ks.relin.bs, l), p_t),
+                    p_t,
+                ),
+                l,
+            )
+        )
+        dt_inner = _time(inner, dig) / batch
+        print(
+            f"G={G}: lift {dt_lift*1e6:.0f} us, inner+moddown "
+            f"{dt_inner*1e6:.0f} us, full key_switch {dt_ks*1e6:.0f} us "
+            f"(dig shape {tuple(dig.shape)})"
+        )
+
+
+def modops_shoup(dig, kb, kbs, p_t):
+    from reference_seal_backend_tpu.ops import modops as _m
+
+    return _m.shoup_mul(dig, kb, kbs, p_t)
+
+
+def _mod_sum_local(x, p_t):
+    from reference_seal_backend_tpu.evaluator.eval import _mod_sum
+
+    return _mod_sum(x, p_t, axis=-3)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ops":
         ops_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 8192)
@@ -232,6 +293,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "groupcmp":
         groupcmp(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "groupparts":
+        groupparts(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     nl = int(sys.argv[2]) if len(sys.argv) > 2 else 7

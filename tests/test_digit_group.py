@@ -91,6 +91,24 @@ def test_grouped_at_low_level(g2):
     assert np.max(np.abs(got - np.roll(va * vb, -1))) < EPS
 
 
+def test_grouped_under_jit_no_tracer_leak(g2):
+    """digit_tables is first populated INSIDE a jit trace here: the cached
+    lift constants must be concrete (a leaked tracer would blow up the
+    second, differently-shaped trace) — regression for the chip-only
+    UnexpectedTracerError the eager CPU tests missed."""
+    import jax
+
+    ctx, ks, de, va, vb, ca, cb = g2
+    ctx._digit_tables.clear()
+    ev = Evaluator(ctx, ks)
+    out = jax.jit(lambda x, y: ev.relinearize(ev.multiply(x, y)))(ca, cb)
+    got = np.real(de.decrypt(out))
+    assert np.max(np.abs(got - va * vb)) < EPS
+    out2 = jax.jit(lambda x: ev.rotate_sum(x, [0, 1]))(ca)
+    got2 = np.real(de.decrypt(out2))
+    assert np.max(np.abs(got2 - (va + np.roll(va, -1)))) < 2 * EPS
+
+
 def test_grouped_bfv_exact():
     ctx = make_bfv_context(poly_modulus_degree=N, sec_level=0, digit_group=2)
     assert ctx.digit_group == 2 and ctx.n_special == 2

@@ -85,6 +85,45 @@ def test_logreg_sp_vs_single_device():
     assert np.max(np.abs(got - sig)) < 5e-4
 
 
+def test_dp_sp_combined_mesh_bit_exact():
+    """dp×sp combined mesh (SURVEY.md §2.4): the Offline batch axis shards
+    on dp while every polynomial's coefficient axis shards on sp — the
+    whole multiply→relinearize→rescale pipeline bit-exact vs single
+    device, with the NTT shard_map specs carrying both axes."""
+    from reference_seal_backend_tpu.evaluator.eval import Evaluator
+    from reference_seal_backend_tpu.parallel import mesh as mesh_mod
+    from reference_seal_backend_tpu.parallel import sp_eval
+    from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
+    from reference_seal_backend_tpu.schemes.params import make_ckks_context
+    from dataclasses import replace
+    import jax.numpy as jnp
+
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
+    ks = keys_mod.keygen(ctx, seed=5, need_relin=True)
+    enc = ckks.CkksEncoder(ctx)
+    er = ckks.CkksEncryptor(ctx, ks, seed=5)
+    rng = np.random.default_rng(2)
+    batch = 4
+    cts = [
+        er.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+        for _ in range(2 * batch)
+    ]
+    a = replace(cts[0], data=jnp.stack([c.data for c in cts[:batch]]))
+    b = replace(cts[0], data=jnp.stack([c.data for c in cts[batch:]]))
+
+    mesh = mesh_mod.make_mesh(8, ("dp", "sp"), shape=(2, 4))
+    spe = sp_eval.SpEvaluator(ctx, ks, mesh, batch_axes=("dp",))
+    ev = Evaluator(ctx, ks)
+    want = ev.rescale_to_next(ev.relinearize(ev.multiply(a, b)))
+
+    def pipeline(x, y):
+        return spe.rescale_to_next(spe.relinearize(spe.multiply(x, y)))
+
+    got = spe.unshard(jax.jit(pipeline)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.level == want.level
+
+
 def test_runner_executes_sp_sharded():
     """The runner path: --sp_shard flows through params and the benchmark
     passes its ground-truth validation sp-sharded."""
