@@ -174,7 +174,12 @@ def default_descriptors() -> Tuple[BenchmarkDescriptor, ...]:
                 data_type="float64",
                 default_params=_d(
                     n=16, poly_modulus_degree=16384, mult_depth=6,
-                    batch_size=100,
+                    # 0 = flexible, exactly as the reference registers it
+                    # (src/engine/seal_engine.cpp:151); the 100-sample
+                    # default constant lives in the workload
+                    # (models/logreg.py DEFAULT_BATCH), and the runner's
+                    # offline data_count contract picks sample_size.
+                    batch_size=0,
                 ),
                 **_cat(cat, 1, 1, 0),
             )

@@ -137,8 +137,6 @@ def run_benchmark(
     if warmup_iterations is None:
         warmup_iterations = desc.warmup_iterations
     try:
-        bench = engine.create_benchmark(desc, params)
-        rng = np.random.default_rng(seed)
         if desc.category is Category.OFFLINE:
             # Per-operand sample counts: the descriptor's registered
             # offline data_count, 0 = flexible -> sample_size (the
@@ -148,6 +146,18 @@ def run_benchmark(
             b1 = (dc[-1] if dc[-1] > 0 else sample_size) if len(dc) > 1 else 1
         else:
             b0 = b1 = 1
+        if (
+            desc.workload is Workload.LOGREG_POLY_D3
+            and desc.category is Category.OFFLINE
+            and not (params or {}).get("batch_size")
+        ):
+            # The reference registers the logreg batch FLEXIBLE (batch 0,
+            # src/engine/seal_engine.cpp:148-151) and its CI runs it at
+            # default_sample_size; mirror that unless the caller pinned
+            # an explicit batch_size.
+            params = dict(params or {}, batch_size=b1)
+        bench = engine.create_benchmark(desc, params)
+        rng = np.random.default_rng(seed)
         inputs, truth_fn = _gen_inputs(desc, bench.params, rng, b0, b1)
         h = bench.encode(inputs)
         h = bench.encrypt(h)

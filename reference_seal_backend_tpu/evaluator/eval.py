@@ -280,12 +280,41 @@ class Evaluator:
 
     def _mod_down_special(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
         """[..., l+ns, N] (live + special rows, NTT Mont) -> [..., l, N]
-        Montgomery form of round(x / P), peeling one special prime at a
-        time (each peel is the exact divide-and-round of the ungrouped
-        path; for n_special == 1 this is bit-identical to it)."""
-        for j in reversed(range(self.ctx.n_special)):
-            x = self._peel_special(x, l, j)
-        return x
+        Montgomery form of round(x / P).
+
+        n_special == 1: the exact centered divide-and-round (bit-identical
+        to the pre-grouping path).  n_special > 1: single-shot fast base
+        conversion (params.Context.moddown_tables) — ONE batched iNTT over
+        the special rows and ONE l-row forward NTT, instead of sequential
+        per-prime peels whose extra (l+1)-row sweeps were measured to eat
+        the digit-grouping win; costs < ns units of uncentered rounding
+        noise (analysis in moddown_tables)."""
+        ctx = self.ctx
+        ns = ctx.n_special
+        if ns == 1:
+            return self._peel_special(x, l, 0)
+        ihat, W, Ws, invP, invPs, invPm, invPms = ctx.moddown_tables(l)
+        sp = ctx.sp_row
+        v_mont = ctx.plan.inv(x[..., l:, :], lo=sp)  # [..., ns, N]
+        y = modops.mont_mul(
+            v_mont, ihat, ctx.p[sp:], ctx.p_neg_inv[sp:]
+        )  # [..., ns, N] normal: y_s = v_s·(P/p_s)^{-1} mod p_s
+        p_l, mu_l = ctx.p[:l], ctx.mu[:l]
+        contrib = modops.shoup_mul(
+            modops.barrett_reduce_u32(y[..., :, None, :], p_l, mu_l),
+            W,
+            Ws,
+            p_l,
+        )  # [..., ns, l, N]
+        u = contrib[..., 0, :, :]
+        for s in range(1, ns):
+            u = modops.mod_add(u, contrib[..., s, :, :], p_l)
+        u_ntt = ctx.plan.fwd(u, lo=0)
+        return modops.mod_sub(
+            modops.shoup_mul(x[..., :l, :], invP, invPs, p_l),
+            modops.shoup_mul(u_ntt, invPm, invPms, p_l),
+            p_l,
+        )
 
     def _peel_special(self, x: jnp.ndarray, l: int, j: int) -> jnp.ndarray:
         """Divide-and-round ``x`` [..., l+j+1, N] (rows = live 0..l-1 then

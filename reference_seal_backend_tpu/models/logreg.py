@@ -33,6 +33,9 @@ from reference_seal_backend_tpu.evaluator import composite
 from reference_seal_backend_tpu.models.base import Handle, HEBenchmark
 
 SIGMOID_D3 = (0.5, 0.15012, 0.0, -0.0015930078125)
+# The reference's default batch constant behind the FLEXIBLE (0)
+# registration (include/benchmarks/ckks/seal_ckks_logreg_horner.h:24).
+DEFAULT_BATCH = 100
 
 
 class LogRegBenchmark(HEBenchmark):
@@ -42,7 +45,7 @@ class LogRegBenchmark(HEBenchmark):
             p.update(params)
         self.n = p["n"]
         self.batch = (
-            p.get("batch_size", 1)
+            (p.get("batch_size", 0) or DEFAULT_BATCH)
             if descriptor.category.value == "offline"
             else 1
         )

@@ -291,6 +291,64 @@ class Context:
                 )
         return self._digit_tables[level]
 
+    def moddown_tables(self, level: int):
+        """Host-precomputed constants for the single-shot fast-base-
+        conversion mod-down by the multi-prime P (used when n_special > 1;
+        evaluator/eval.py _mod_down_special):
+
+          ihat[s, 1]     = (P/p_s)^{-1} mod p_s  (plain; one mont_mul takes
+                           the Montgomery special residue to y_s normal)
+          W[s, j, 1]     = (P/p_s) mod q_j  over live targets j < level
+          invP[j, 1]     = P^{-1} mod q_j          (for Montgomery x)
+          invPm[j, 1]    = (P^{-1} mod q_j)·R      (for normal-form u)
+
+        each with its Shoup companion.  The FBC representative
+        u = Σ_s y_s·(P/p_s) ≡ x (mod P) lies in [0, ns·P); skipping the
+        exact centering costs < ns units of additive rounding noise in
+        round(x/P) — negligible against the key-switch noise itself —
+        and saves a full (l+1)-row NTT sweep per peeled prime.
+        """
+        key = ("md", level)
+        if key not in self._digit_tables:
+            l = level
+            ns = self.n_special
+            P = 1
+            for sp in self.special_primes:
+                P *= sp
+            ihat = np.ones((ns, 1), dtype=np.uint32)
+            W = np.zeros((ns, l, 1), dtype=np.uint32)
+            Ws = np.zeros((ns, l, 1), dtype=np.uint32)
+            invP = np.zeros((l, 1), dtype=np.uint32)
+            invPs = np.zeros((l, 1), dtype=np.uint32)
+            invPm = np.zeros((l, 1), dtype=np.uint32)
+            invPms = np.zeros((l, 1), dtype=np.uint32)
+            R = 1 << 32
+            for s in range(ns):
+                ps = self.special_primes[s]
+                Ps = P // ps
+                ihat[s, 0] = pow(Ps % ps, -1, ps)
+                for j in range(l):
+                    qj = self.primes[j]
+                    w = Ps % qj
+                    W[s, j, 0] = w
+                    Ws[s, j, 0] = (w << 32) // qj
+            for j in range(l):
+                qj = self.primes[j]
+                iv = pow(P % qj, -1, qj)
+                invP[j, 0] = iv
+                invPs[j, 0] = (iv << 32) // qj
+                ivm = iv * R % qj
+                invPm[j, 0] = ivm
+                invPms[j, 0] = (ivm << 32) // qj
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._digit_tables[key] = tuple(
+                    jnp.asarray(t)
+                    for t in (ihat, W, Ws, invP, invPs, invPm, invPms)
+                )
+        return self._digit_tables[key]
+
 
 def _resolve_digit_group(requested, sec_level: int, n: int, gen):
     """Resolve the key-switch digit grouping for a scheme context.

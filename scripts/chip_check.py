@@ -172,7 +172,7 @@ def roofline(n: int) -> None:
     print(json.dumps(out))
 
 
-def groupcmp(n: int) -> None:
+def groupcmp(n: int, depth: int = 2, sec: int = 128, batch: int = 8) -> None:
     """Digit grouping G=1 vs G=2 on the key-switch-bound ops (round 3):
     same workload semantics, measured on the real chip with correctness
     gates (decrypt-compare) before timing."""
@@ -182,12 +182,12 @@ def groupcmp(n: int) -> None:
     from reference_seal_backend_tpu.schemes import ckks, keys as keys_mod
     from reference_seal_backend_tpu.schemes.params import make_ckks_context
 
-    print("backend:", jax.default_backend())
+    print(f"backend: {jax.default_backend()} N={n} depth={depth}")
     rng = np.random.default_rng(0)
-    batch = 8
     for G in (1, 2):
         ctx = make_ckks_context(
-            poly_modulus_degree=n, mult_depth=2, digit_group=G
+            poly_modulus_degree=n, mult_depth=depth, digit_group=G,
+            sec_level=sec,
         )
         ks = keys_mod.keygen(
             ctx,
@@ -292,7 +292,12 @@ def main() -> None:
         roofline(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "groupcmp":
-        groupcmp(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)
+        groupcmp(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16384,
+            depth=int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+            sec=int(sys.argv[4]) if len(sys.argv) > 4 else 128,
+            batch=int(sys.argv[5]) if len(sys.argv) > 5 else 8,
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "groupparts":
         groupparts(int(sys.argv[2]) if len(sys.argv) > 2 else 16384)

@@ -55,7 +55,13 @@ def test_descriptor_fields():
     lr = engine.find("ckks_logistic_regression_poly_d3_latency")
     assert lr.default_params["poly_modulus_degree"] == 16384
     assert lr.default_params["mult_depth"] == 6
-    # Offline logreg batch is flexible with a 100-sample default
+    # Offline logreg batch registers FLEXIBLE (0), like the reference
+    # (src/engine/seal_engine.cpp:151); the 100-sample default constant
+    # lives in the workload (models/logreg.py DEFAULT_BATCH).
     lro = engine.find("ckks_logistic_regression_poly_d3_offline")
     assert lro.category is Category.OFFLINE
-    assert lro.default_params["batch_size"] == 100
+    assert lro.default_params["batch_size"] == 0
+    assert lro.default_data_count == (1, 1, 0)
+    from reference_seal_backend_tpu.models.logreg import DEFAULT_BATCH
+
+    assert DEFAULT_BATCH == 100
