@@ -44,6 +44,13 @@ int64_t rsbtpu_benchmark_count(int64_t engine);
  * Returns name length or < 0. */
 int64_t rsbtpu_benchmark_name(int64_t engine, int64_t index, char *buf,
                               int64_t buf_len);
+/* Full descriptor as JSON (workload/scheme/category/security/other,
+ * default_params, and cat_params: warmup_iterations_count,
+ * min_test_time_ms, offline data_count) — the analogue of the
+ * reference's APIBridge BenchmarkDescriptor POD. Same buffer contract
+ * as rsbtpu_benchmark_name. */
+int64_t rsbtpu_benchmark_descriptor(int64_t engine, int64_t index, char *buf,
+                                    int64_t buf_len);
 
 /* Create a benchmark instance by descriptor name with JSON workload
  * params (e.g. {"poly_modulus_degree": 4096, "n": 100}); NULL/"" keeps

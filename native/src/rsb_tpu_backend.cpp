@@ -194,6 +194,23 @@ int64_t rsbtpu_benchmark_name(int64_t engine, int64_t index, char *buf,
   return n;
 }
 
+int64_t rsbtpu_benchmark_descriptor(int64_t engine, int64_t index, char *buf,
+                                    int64_t buf_len) {
+  if (rsbtpu_initialize() != 0) return -1;
+  GilGuard gil;
+  PyObject *r = call("engine_benchmark_descriptor",
+                     Py_BuildValue("(LL)", engine, index));
+  if (!r) return -1;
+  const char *s = PyUnicode_AsUTF8(r);
+  int64_t n = static_cast<int64_t>(std::strlen(s));
+  if (buf && buf_len > 0) {
+    std::strncpy(buf, s, static_cast<size_t>(buf_len - 1));
+    buf[buf_len - 1] = '\0';
+  }
+  Py_DECREF(r);
+  return n;
+}
+
 int64_t rsbtpu_benchmark_create(int64_t engine, const char *name,
                                 const char *params_json) {
   return call_i64("benchmark_create", "(Lss)", engine, name ? name : "",

@@ -80,6 +80,36 @@ def engine_benchmark_name(eid: int, i: int) -> str:
         return ""
 
 
+def engine_benchmark_descriptor(eid: int, i: int) -> str:
+    """Full descriptor as JSON — the analogue of the reference's
+    ``hebench::APIBridge::BenchmarkDescriptor`` POD the harness reads
+    through the C ABI (workload/category/scheme/security/other plus the
+    registered ``cat_params``: warmup_iterations_count, min_test_time_ms,
+    offline data_count — e.g. /root/reference
+    src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:31-45)."""
+    try:
+        d = _engines[eid].descriptors[i]
+        return json.dumps(
+            {
+                "name": d.name,
+                "workload": d.workload.value,
+                "scheme": d.scheme.value,
+                "category": d.category.value,
+                "other": d.other,
+                "data_type": d.data_type,
+                "security": d.security,
+                "default_params": dict(d.default_params),
+                "cat_params": {
+                    "warmup_iterations_count": d.warmup_iterations,
+                    "min_test_time_ms": d.min_test_time_ms,
+                    "data_count": list(d.default_data_count),
+                },
+            }
+        )
+    except BaseException:  # noqa: BLE001
+        return ""
+
+
 def benchmark_create(eid: int, name: str, params_json: str) -> int:
     try:
         engine = _engines[eid]

@@ -61,7 +61,8 @@ class Evaluator:
         self.ctx = ctx
         self.keys = keys
         # Galois keys with the inverse automorphism pre-applied, for
-        # hoisted rotations (rotate_sum); built lazily per element.
+        # hoisted rotations (rotate_sum); built lazily per element when
+        # not already precomputed in keys.galois_p5.
         self._hoist_cache: dict = {}
 
     # -- linear ops ---------------------------------------------------------
@@ -521,6 +522,47 @@ class Evaluator:
                 )
         return self._hoist_cache[g]
 
+    def _p5_tables(self):
+        """Power-of-5 orbit-order permutation (params.Context.p5_order):
+        rotate_sum gathers into p5 order ONCE, rolls per rotation (two
+        slices + concat, no gather), and gathers back once — instead of
+        one N-point gather per rotation, which chip profiling showed
+        dominating the hoisted loop (and pathologically so for grouped
+        digits)."""
+        return self.ctx.p5_order()
+
+    def _hoisted_key_p5(self, g: int) -> SwitchKey:
+        """Hoisted rotate_sum key for element ``g``: φ_{g^{-1}}
+        pre-applied, slot axis in p5 order.  Prefers the keygen-time
+        precomputed ``keys.galois_p5`` — mandatory when the keys flow
+        through jit as ARGUMENTS (tracers cannot be permuted host-side);
+        falls back to a host-side one-time computation for concrete
+        KeySets built by older callers."""
+        kp5 = getattr(self.keys, "galois_p5", None)
+        if kp5 and g in kp5:
+            return kp5[g]
+        ck = ("p5", g)
+        if ck not in self._hoist_cache:
+            base = self._hoisted_key(g)
+            P_np, _, _ = self._p5_tables()
+            with jax.ensure_compile_time_eval():
+                take = lambda arr: jnp.asarray(
+                    np.take(np.asarray(arr), P_np, axis=-1)
+                )
+                self._hoist_cache[ck] = SwitchKey(
+                    b=take(base.b), a=take(base.a),
+                    bs=take(base.bs), as_=take(base.as_),
+                )
+        return self._hoist_cache[ck]
+
+    @staticmethod
+    def _roll_p5(x: jnp.ndarray, s: int) -> jnp.ndarray:
+        """φ_{5^s} on a p5-ordered array: shift by s within each orbit."""
+        half = x.shape[-1] // 2
+        v = x.reshape(*x.shape[:-1], 2, half)
+        v = jnp.roll(v, -s, axis=-1)
+        return v.reshape(*x.shape)
+
     def rotate_sum(self, a: Ciphertext, steps: Sequence[int]) -> Ciphertext:
         """Σ_s rotate(a, s) over ``steps`` with ONE hoisted digit
         decomposition and ONE mod-down shared across all rotations
@@ -553,29 +595,35 @@ class Evaluator:
                 out = modops.mod_add(out, a.data, p)
             return replace(a, data=out)
         p_t, _, _ = self._switch_targets(l)
-        dig = self._hoisted_digits(a.data[..., 1, :, :], l)
+        _, P_dev, Q_dev = self._p5_tables()
+        # ONE gather into p5 order for the shared digits and c0; every
+        # per-rotation φ_g is then a roll (see _p5_tables).
+        dig = jnp.take(
+            self._hoisted_digits(a.data[..., 1, :, :], l), P_dev, axis=-1
+        )
+        c0_p5 = jnp.take(a.data[..., 0, :, :], P_dev, axis=-1)
         cat2 = lambda k: self._cat_key(k, l)
-        acc = None           # [..., 2(b,a), l+ns, N] pre-mod-down sum
-        c0_parts = []        # permuted c0 components, [..., l, N]
+        acc = None           # [..., 2(b,a), l+ns, N] pre-mod-down, p5 order
+        c0_parts = []        # rolled c0 components, [..., l, N] p5 order
         for s in nonzero:
             g = pow(5, s, 2 * n)
             if self.keys is None or g not in self.keys.galois:
                 raise ValueError(f"missing Galois key for element {g}")
-            hk = self._hoisted_key(g)
+            hk = self._hoisted_key_p5(g)
             pair_w = jnp.stack([cat2(hk.b), cat2(hk.a)])  # [2, nd, l+ns, N]
             pair_s = jnp.stack([cat2(hk.bs), cat2(hk.as_)])
             terms = modops.shoup_mul(
                 dig[..., None, :, :, :], pair_w, pair_s, p_t
             )  # [..., 2, nd, l+ns, N]
             acc_g = _mod_sum(terms, p_t, axis=-3)         # [..., 2, l+ns, N]
-            perm = ctx.plan.galois_perm(g)
-            acc_g = jnp.take(acc_g, perm, axis=-1)          # apply φ_g
+            acc_g = self._roll_p5(acc_g, s)               # apply φ_g
             acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)
-            c0_parts.append(
-                jnp.take(a.data[..., 0, :, :], perm, axis=-1)
-            )
+            c0_parts.append(self._roll_p5(c0_p5, s))
+        acc = jnp.take(acc, Q_dev, axis=-1)               # back to storage
         kba = self._mod_down_special(acc, l)                # [..., 2, l, N]
-        c0_rot = _mod_sum(jnp.stack(c0_parts), p, axis=0)
+        c0_rot = jnp.take(
+            _mod_sum(jnp.stack(c0_parts), p, axis=0), Q_dev, axis=-1
+        )
         c0 = modops.mod_add(c0_rot, kba[..., 0, :, :], p)
         c1 = kba[..., 1, :, :]
         for _ in range(n_id):

@@ -138,6 +138,34 @@ class HEBenchmark(abc.ABC):
 
     # ------------------------------------------------------------------ #
 
+    def jit_with_keys(self, fn):
+        """jit a pipeline stage with the benchmark's KeySet passed as a
+        runtime ARGUMENT instead of a closure constant.
+
+        Embedded key constants travel inside the compile payload — at
+        N >= 16384 the switch keys are hundreds of MB and the tunneled
+        remote-compile service refuses the request (HTTP 413, observed on
+        chip); as arguments they are HBM buffers the executable merely
+        references.  The hoisted rotate_sum keys are precomputed at keygen
+        (KeySet.galois_p5) precisely so tracing never needs host-side key
+        permutation.  sp mode keeps the direct jit: it runs on virtual CPU
+        meshes (no remote compile) and SpEvaluator's host-side key
+        relayout cannot take tracers."""
+        if self.sp_shard:
+            return jax.jit(fn)
+
+        @jax.jit
+        def wrapped(keys, *args):
+            prev_keys, prev_ev = self.keys, self.ev
+            self.keys = keys
+            self.ev = Evaluator(self.ctx, keys)
+            try:
+                return fn(*args)
+            finally:
+                self.keys, self.ev = prev_keys, prev_ev
+
+        return lambda *args: wrapped(self.keys, *args)
+
     def rotation_steps(self) -> List[int]:
         """Rotation steps this workload needs Galois keys for."""
         return []

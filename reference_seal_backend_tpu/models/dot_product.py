@@ -38,7 +38,7 @@ class DotProductBenchmark(HEBenchmark):
             raise ValueError(
                 f"vector size {self.n} exceeds slot count {self.ctx.slots}"
             )
-        self._op_jit = jax.jit(self._operate_impl)
+        self._op_jit = self.jit_with_keys(self._operate_impl)
 
     def rotation_steps(self) -> List[int]:
         slots = (

@@ -46,7 +46,7 @@ class ElementWiseBenchmark(HEBenchmark):
                 f"vector size {self.n} exceeds slot count {self.ctx.slots}"
             )
         self.is_add = descriptor.workload is Workload.ELTWISE_ADD
-        self._op_jit = jax.jit(self._operate_impl)
+        self._op_jit = self.jit_with_keys(self._operate_impl)
 
     # -- pipeline --------------------------------------------------------- #
 

@@ -60,9 +60,9 @@ class LogRegBenchmark(HEBenchmark):
         # at runtime (each stage is still one fused XLA graph; the timed
         # operate blocks once at the end).  jax.jit of the full
         # _operate_impl remains available for the driver's compile check.
-        self._stage_dots = jax.jit(self._dots_impl)
-        self._stage_collapse = jax.jit(self._collapse_impl)
-        self._stage_sigmoid = jax.jit(self._sigmoid_impl)
+        self._stage_dots = self.jit_with_keys(self._dots_impl)
+        self._stage_collapse = self.jit_with_keys(self._collapse_impl)
+        self._stage_sigmoid = self.jit_with_keys(self._sigmoid_impl)
 
     def rotation_steps(self) -> List[int]:
         steps = composite.rotations_for_accumulate(self.n, self.ctx.slots)

@@ -61,7 +61,7 @@ class _MatMultBase(HEBenchmark):
         self.c0 = p["cols_m0"]
         self.c1 = p["cols_m1"]
         super().__init__(descriptor, params)
-        self._op_jit = jax.jit(self._operate_impl)
+        self._op_jit = self.jit_with_keys(self._operate_impl)
 
     @property
     def is_ckks(self) -> bool:

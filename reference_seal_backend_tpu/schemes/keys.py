@@ -84,18 +84,29 @@ class SwitchKey:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["secret_ntt", "public", "relin", "galois"],
+    data_fields=["secret_ntt", "public", "relin", "galois", "galois_p5"],
     meta_fields=[],
 )
 @dataclass(frozen=True)
 class KeySet:
     """Registered as a pytree so mesh replication / jit argument passing
-    see through to the key arrays (parallel/mesh.py replicate)."""
+    see through to the key arrays (parallel/mesh.py replicate).
 
-    secret_ntt: jnp.ndarray  # [L_data + 1, N] NTT Montgomery, full basis
+    ``galois_p5`` holds, per rotation element g = 5^s, the hoisted variant
+    of its switch key: the inverse automorphism φ_{g^{-1}} pre-applied and
+    the slot axis re-ordered into the power-of-5 orbit order
+    (params.Context.p5_order) — what Evaluator.rotate_sum's shared-digit
+    inner products consume.  Precomputed at keygen (host-side, concrete)
+    so key arrays can flow through jit as ARGUMENTS: embedding them as
+    closure constants breaks the remote-compile path for big-N workloads
+    (the compile request carries every embedded constant; logreg at
+    N=16384 has ~600 MB of switch keys)."""
+
+    secret_ntt: jnp.ndarray  # [L_data + ns, N] NTT Montgomery, full basis
     public: PublicKey
     relin: SwitchKey | None
     galois: Dict[int, SwitchKey]  # by Galois element g
+    galois_p5: Dict[int, SwitchKey]  # hoisted rotate_sum keys, by element
 
 
 def sample_ternary(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -257,8 +268,10 @@ def keygen(
         p64 = np.array(ctx.primes, dtype=np.uint64)[:, None]
         b_np = np.asarray(b_sk)
         a_np = np.asarray(a_sk_out)
-        bs = jnp.asarray(((b_np.astype(np.uint64) << 32) // p64).astype(np.uint32))
-        as_ = jnp.asarray(((a_np.astype(np.uint64) << 32) // p64).astype(np.uint32))
+        bs_np = ((b_np.astype(np.uint64) << 32) // p64).astype(np.uint32)
+        as_np = ((a_np.astype(np.uint64) << 32) // p64).astype(np.uint32)
+        bs = jnp.asarray(bs_np)
+        as_ = jnp.asarray(as_np)
 
     relin = None
     k = 0
@@ -266,13 +279,32 @@ def keygen(
         relin = SwitchKey(b=b_sk[0], a=a_sk_out[0], bs=bs[0], as_=as_[0])
         k = 1
     galois: Dict[int, SwitchKey] = {}
+    galois_p5: Dict[int, SwitchKey] = {}
+    P_np = ctx.p5_order()[0] if elts else None
     for g in elts:
-        galois[g] = SwitchKey(b=b_sk[k], a=a_sk_out[k], bs=bs[k], as_=as_[k])
+        key = SwitchKey(b=b_sk[k], a=a_sk_out[k], bs=bs[k], as_=as_[k])
+        galois[g] = key
         k += 1
+        if g == two_n - 1:
+            continue  # conjugation is not in the rotation group <5>
+        # hoisted rotate_sum variant: φ_{g^{-1}} then the p5 re-order,
+        # composed into one host-side gather (b_np/a_np are already host
+        # copies from the Shoup computation above).
+        g_inv = pow(g, -1, two_n)
+        idx = np.asarray(ctx.plan.galois_perm(g_inv))[P_np]
+        j = k - 1
+        take = lambda arr: jnp.asarray(np.take(arr, idx, axis=-1))
+        galois_p5[g] = SwitchKey(
+            b=take(b_np[j]),
+            a=take(a_np[j]),
+            bs=take(bs_np[j]),
+            as_=take(as_np[j]),
+        )
 
     return KeySet(
         secret_ntt=s_ntt,
         public=PublicKey(b=b_pk, a=jnp.asarray(a_pk)),
         relin=relin,
         galois=galois,
+        galois_p5=galois_p5,
     )

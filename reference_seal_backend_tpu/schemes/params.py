@@ -291,6 +291,42 @@ class Context:
                 )
         return self._digit_tables[level]
 
+    def p5_order(self):
+        """Power-of-5 evaluation-order permutation for the rotation group
+        ⟨5⟩ ⊂ Z_2N^*: ordering the N evaluation points as the two
+        ⟨5⟩-orbits (± classes), φ_{5^s} becomes a cyclic shift by s within
+        each orbit (evaluator/eval.py rotate_sum exploits this).
+
+        Returns (P_np, P_dev, Q_dev) with x_p5 = x[..., P], x = x_p5[..., Q].
+        Built by orbit traversal of plan.galois_perm(5) so it is consistent
+        with the NTT storage order by construction.
+        """
+        key = "p5"
+        if key not in self._digit_tables:
+            n = self.n
+            half = n // 2
+            perm5 = np.asarray(self.plan.galois_perm(5))
+            P = np.empty(n, dtype=np.int64)
+            P[0] = 0
+            for j in range(1, half):
+                P[j] = perm5[P[j - 1]]
+            seen = np.zeros(n, dtype=bool)
+            seen[P[:half]] = True
+            P[half] = int(np.argmin(seen))  # first index of the - orbit
+            for j in range(1, half):
+                P[half + j] = perm5[P[half + j - 1]]
+            Q = np.empty(n, dtype=np.int64)
+            Q[P] = np.arange(n)
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._digit_tables[key] = (
+                    P,
+                    jnp.asarray(P.astype(np.int32)),
+                    jnp.asarray(Q.astype(np.int32)),
+                )
+        return self._digit_tables[key]
+
     def moddown_tables(self, level: int):
         """Host-precomputed constants for the single-shot fast-base-
         conversion mod-down by the multi-prime P (used when n_special > 1;

@@ -198,23 +198,30 @@ def groupcmp(n: int, depth: int = 2, sec: int = 128, batch: int = 8) -> None:
         enc = ckks.CkksEncoder(ctx)
         encr = ckks.CkksEncryptor(ctx, ks, seed=2)
         decr = ckks.CkksDecryptor(ctx, ks)
-        ev = Evaluator(ctx, ks)
         va = rng.uniform(-1, 1, ctx.slots)
         ct = encr.encrypt_pt(enc.encode(va))
         ctb = _rep(ct, data=jnp.broadcast_to(ct.data, (batch,) + ct.data.shape))
 
-        rot = jax.jit(lambda c: ev.rotate(c, 1))
+        # Keys flow as jit ARGUMENTS (embedded key constants overflow the
+        # remote-compile request at big N·l — models/base.py jit_with_keys).
+        rot_k = jax.jit(lambda keys, c: Evaluator(ctx, keys).rotate(c, 1))
+        rot = lambda c: rot_k(ks, c)
         out = rot(ctb)
         err = np.max(np.abs(np.real(
             decr.decrypt(_rep(out, data=out.data[0]))) - np.roll(va, -1)))
         assert err < 5e-4, err
         dt_rot = _time(rot, ctb) / batch
 
-        mrr = jax.jit(
-            lambda x: ev.rescale_to_next(ev.relinearize(ev.multiply(x, x)))
-        )
+        mrr_k = jax.jit(lambda keys, x: (lambda e: e.rescale_to_next(
+            e.relinearize(e.multiply(x, x))))(Evaluator(ctx, keys)))
+        mrr = lambda x: mrr_k(ks, x)
         dt_mrr = _time(mrr, ctb) / batch
-        rsum = jax.jit(lambda c: ev.rotate_sum(c, list(range(8))))
+        rsum_k = jax.jit(
+            lambda keys, c: Evaluator(ctx, keys).rotate_sum(
+                c, list(range(8))
+            )
+        )
+        rsum = lambda c: rsum_k(ks, c)
         dt_rs = _time(rsum, ctb) / batch
         print(
             f"G={G} (ns={ctx.n_special}, dig={ctx.dig_count(ctx.L)}): "

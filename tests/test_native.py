@@ -121,6 +121,27 @@ def test_registry_in_process(built):
     assert "ckks_logistic_regression_poly_d3_latency" in names
     assert len(names) == 20
 
+    # Full descriptor POD through the ABI (reference BenchmarkDescriptor
+    # incl. cat_params, seal_ckks_element_wise_benchmark.cpp:31-45)
+    import json as _json
+
+    lib.rsbtpu_benchmark_descriptor.restype = ctypes.c_int64
+    lib.rsbtpu_benchmark_descriptor.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
+    buf = ctypes.create_string_buffer(4096)
+    assert lib.rsbtpu_benchmark_descriptor(eng, 0, buf, 4096) > 0
+    d = _json.loads(buf.value.decode())
+    assert d["workload"] and d["scheme"] in ("ckks", "bfv")
+    assert d["security"] == "128 bits"
+    cp = d["cat_params"]
+    assert cp["warmup_iterations_count"] == 1
+    assert "min_test_time_ms" in cp and "data_count" in cp
+    assert d["default_params"]["poly_modulus_degree"] in (8192, 16384)
+
 
 def test_api_version_check(built):
     """Version gate semantics: major/minor exact, revision >= required
