@@ -134,6 +134,28 @@ def test_grouped_bfv_exact():
     assert np.array_equal(got_r, want_r)
 
 
+def test_p5_order_identity():
+    """The power-of-5 orbit order (Context.p5_order): P/Q are inverse
+    permutations and φ_{5^s} in p5 coordinates is exactly a roll by s
+    within each orbit — the identity Evaluator.rotate_sum's roll path
+    rests on (host-only, no jit)."""
+    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
+    P, _, _ = ctx.p5_order()
+    n = ctx.n
+    half = n // 2
+    Q = np.empty(n, dtype=np.int64)
+    Q[P] = np.arange(n)
+    assert np.array_equal(np.sort(P), np.arange(n))  # a permutation
+    for s in (1, 3, half - 1):
+        perm = np.asarray(ctx.plan.galois_perm(pow(5, s, 2 * n)))
+        x = np.arange(n)
+        want = x[perm]                     # (φ x)[i] = x[perm[i]]
+        x_p5 = x[P].reshape(2, half)
+        rolled = np.roll(x_p5, -s, axis=-1).reshape(n)
+        got = rolled[Q]
+        assert np.array_equal(got, want), f"s={s}"
+
+
 def test_auto_resolution_respects_he_standard_budget():
     """Auto digit grouping upgrades only when the extra special prime
     fits the HE-standard 128-bit bound (host-only, no jit)."""
