@@ -107,12 +107,6 @@ class SpEvaluator:
         self.mesh = mesh
         self.axis = axis
         self.batch_axes = tuple(batch_axes)
-        if ctx.digit_group != 1 or ctx.n_special != 1:
-            # Grouped digit decomposition is not yet threaded through the
-            # sharded key-switch; build sp contexts with digit_group=1.
-            raise NotImplementedError(
-                "SpEvaluator requires digit_group=1 / single special prime"
-            )
         self.n1 = ctx.plan.n1
         self.n2 = ctx.plan.n2
         if not self.n2:
@@ -235,24 +229,51 @@ class SpEvaluator:
 
     def _targets3(self, l: int):
         ctx = self.ctx
-        sp = ctx.sp_row
-        cat = lambda arr: jnp.concatenate([arr[:l], arr[sp : sp + 1]], axis=0)
+        cat = lambda arr: jnp.concatenate([arr[:l], arr[ctx.sp_row :]], axis=0)
         return _c3(cat(ctx.p)), _c3(cat(ctx.mu))
 
     def _digits(self, d: jnp.ndarray, l: int) -> jnp.ndarray:
         """Key-switch digit decomposition + cross-limb lift + per-target
-        forward NTT, all transforms distributed.  ``d`` [..., l, n2, n1]
-        NTT Montgomery -> [..., l, l+1, n2, n1] normal form."""
+        forward NTT, all transforms distributed — grouped digits included
+        (op-for-op evaluator/eval.py _hoisted_digits).  ``d``
+        [..., l, n2, n1] NTT Montgomery -> [..., n_dig, l+ns, n1, n2]
+        normal form."""
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
         plan = ctx.plan
+        G = ctx.digit_group
         d_mat = sharded_ntt.inv(plan, d, mesh, ax, lo=0, batch_axes=self.batch_axes)  # [..., l, n1, n2]
-        d_norm = modops.from_mont(
-            d_mat, _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
-        )
         p_t, mu_t = self._targets3(l)
-        lifted = modops.barrett_reduce_u32(
-            d_norm[..., :, None, :, :], p_t, mu_t
-        )  # [..., l_src, l+1, n1, n2]
+        if G == 1:
+            d_norm = modops.from_mont(
+                d_mat, _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
+            )
+            lifted = modops.barrett_reduce_u32(
+                d_norm[..., :, None, :, :], p_t, mu_t
+            )  # [..., l_src, l+ns, n1, n2]
+        else:
+            ihat, W, Ws = ctx.digit_tables(l)
+            v = modops.mont_mul(
+                d_mat, _c3(ihat), _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
+            )  # [..., l, n1, n2] normal: d_k·(Q_g/q_k)^{-1}
+            contrib = modops.shoup_mul(
+                modops.barrett_reduce_u32(v[..., :, None, :, :], p_t, mu_t),
+                _c3(W),
+                _c3(Ws),
+                p_t,
+            )  # [..., l, l+ns, n1, n2]
+            nd = ctx.dig_count(l)
+            pad = nd * G - l
+            if pad:
+                contrib = jnp.concatenate(
+                    [contrib, jnp.zeros_like(contrib[..., :pad, :, :, :])],
+                    axis=-4,
+                )
+            grp = contrib.reshape(
+                *contrib.shape[:-4], nd, G, *contrib.shape[-3:]
+            )
+            lifted = grp[..., 0, :, :, :]
+            for gi in range(1, G):
+                lifted = modops.mod_add(lifted, grp[..., gi, :, :, :], p_t)
         data_part = sharded_ntt.fwd(plan, lifted[..., :l, :, :], mesh, ax, lo=0, batch_axes=self.batch_axes)
         sp_part = sharded_ntt.fwd(
             plan, lifted[..., l:, :, :], mesh, ax, lo=ctx.sp_row,
@@ -261,53 +282,82 @@ class SpEvaluator:
         return jnp.concatenate([data_part, sp_part], axis=-3)
 
     def _mod_down(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
-        """[..., l+1, n2, n1] NTT Mont -> [..., l, n2, n1] Montgomery form
-        of round(x / P) — evaluator/eval.py _mod_down_special, NTTs
+        """[..., l+ns, n2, n1] NTT Mont -> [..., l, n2, n1] Montgomery form
+        of round(x / P) — evaluator/eval.py _mod_down_special (exact
+        centered peel at ns=1; single-shot FBC at ns>1), NTTs
         distributed."""
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
         sp = ctx.sp_row
-        v_mat = sharded_ntt.inv(plan := ctx.plan, x[..., l:, :, :], mesh, ax, lo=sp, batch_axes=self.batch_axes)
-        v = modops.from_mont(
-            v_mat, _c3(ctx.p[sp : sp + 1]), _c3(ctx.p_neg_inv[sp : sp + 1])
-        )  # [..., 1, n1, n2] in [0, P)
-        flag = (v > ctx.div_half[sp]).astype(jnp.uint32)
-        w = modops.mod_sub(
-            modops.barrett_reduce_u32(v, _c3(ctx.p[:l]), _c3(ctx.mu[:l])),
-            flag * ctx.div_mod[sp, :l][:, None, None],
-            _c3(ctx.p[:l]),
-        )
-        w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
+        ns = ctx.n_special
+        plan = ctx.plan
         p = _c3(ctx.p[:l])
-        sel = lambda t: t[sp, :l][:, None, None]
+        if ns == 1:
+            v_mat = sharded_ntt.inv(plan, x[..., l:, :, :], mesh, ax, lo=sp, batch_axes=self.batch_axes)
+            v = modops.from_mont(
+                v_mat, _c3(ctx.p[sp : sp + 1]), _c3(ctx.p_neg_inv[sp : sp + 1])
+            )  # [..., 1, n1, n2] in [0, P)
+            flag = (v > ctx.div_half[sp]).astype(jnp.uint32)
+            w = modops.mod_sub(
+                modops.barrett_reduce_u32(v, _c3(ctx.p[:l]), _c3(ctx.mu[:l])),
+                flag * ctx.div_mod[sp, :l][:, None, None],
+                _c3(ctx.p[:l]),
+            )
+            w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
+            sel = lambda t: t[sp, :l][:, None, None]
+            return modops.mod_sub(
+                modops.shoup_mul(
+                    x[..., :l, :, :],
+                    sel(ctx.div_inv),
+                    sel(ctx.div_inv_shoup),
+                    p,
+                ),
+                modops.shoup_mul(
+                    w_ntt,
+                    sel(ctx.div_inv_mont),
+                    sel(ctx.div_inv_mont_shoup),
+                    p,
+                ),
+                p,
+            )
+        ihat, W, Ws, invP, invPs, invPm, invPms = ctx.moddown_tables(l)
+        v_mat = sharded_ntt.inv(plan, x[..., l:, :, :], mesh, ax, lo=sp, batch_axes=self.batch_axes)
+        y = modops.mont_mul(
+            v_mat, _c3(ihat), _c3(ctx.p[sp:]), _c3(ctx.p_neg_inv[sp:])
+        )  # [..., ns, n1, n2] normal: v_s·(P/p_s)^{-1}
+        contrib = modops.shoup_mul(
+            modops.barrett_reduce_u32(
+                y[..., :, None, :, :], _c3(ctx.p[:l]), _c3(ctx.mu[:l])
+            ),
+            _c3(W),
+            _c3(Ws),
+            p,
+        )  # [..., ns, l, n1, n2]
+        u = contrib[..., 0, :, :, :]
+        for si in range(1, ns):
+            u = modops.mod_add(u, contrib[..., si, :, :, :], p)
+        u_ntt = sharded_ntt.fwd(plan, u, mesh, ax, lo=0, batch_axes=self.batch_axes)
         return modops.mod_sub(
-            modops.shoup_mul(
-                x[..., :l, :, :],
-                sel(ctx.div_inv),
-                sel(ctx.div_inv_shoup),
-                p,
-            ),
-            modops.shoup_mul(
-                w_ntt,
-                sel(ctx.div_inv_mont),
-                sel(ctx.div_inv_mont_shoup),
-                p,
-            ),
+            modops.shoup_mul(x[..., :l, :, :], _c3(invP), _c3(invPs), p),
+            modops.shoup_mul(u_ntt, _c3(invPm), _c3(invPms), p),
             p,
         )
 
     def _key_t(self, key: SwitchKey, l: int):
-        """Switch-key slices in sp layout (host-side one-time): the cat2
-        selection of evaluator/eval.py key_switch, reshaped/transposed to
-        [l, l+1, n2, n1]."""
+        """Switch-key slices in sp layout (host-side one-time): the
+        cat-key selection of evaluator/eval.py key_switch, reshaped/
+        transposed to [n_dig, l+ns, n2, n1]."""
         ck = (id(key), l)
         if ck not in self._key_cache:
-            sp = self.ctx.sp_row
+            ctx = self.ctx
+            sp = ctx.sp_row
+            nd = ctx.dig_count(l)
+            ns = ctx.n_special
             n1, n2 = self.n1, self.n2
 
             def prep(arr):
                 a = np.asarray(arr)
-                a = np.concatenate([a[:l, :l], a[:l, sp : sp + 1]], axis=1)
-                a = a.reshape(l, l + 1, n1, n2).swapaxes(-1, -2)
+                a = np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
+                a = a.reshape(nd, l + ns, n1, n2).swapaxes(-1, -2)
                 return jnp.asarray(np.ascontiguousarray(a))
 
             self._key_cache[ck] = (
@@ -401,12 +451,14 @@ class SpEvaluator:
             g_inv = pow(g, -1, 2 * self.ctx.n)
             perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
             sp = self.ctx.sp_row
+            nd = self.ctx.dig_count(l)
+            ns = self.ctx.n_special
             n1, n2 = self.n1, self.n2
 
             def prep(arr):
                 a = np.take(np.asarray(arr), perm, axis=-1)
-                a = np.concatenate([a[:l, :l], a[:l, sp : sp + 1]], axis=1)
-                a = a.reshape(l, l + 1, n1, n2).swapaxes(-1, -2)
+                a = np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
+                a = a.reshape(nd, l + ns, n1, n2).swapaxes(-1, -2)
                 return np.ascontiguousarray(a)
 
             with jax.ensure_compile_time_eval():

@@ -163,6 +163,45 @@ def test_sp_dot_product_collectives(dot_setup):
     assert stats["a2a_bytes"] > 0
 
 
+def test_sp_grouped_digits_bit_exact():
+    """Production contexts auto-select digit_group=2: the sp key-switch
+    (grouped lift + FBC mod-down + hoisted rotate_sum) must stay
+    bit-exact vs the single-device evaluator on a G=2 context."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    ctx = make_ckks_context(
+        poly_modulus_degree=N, mult_depth=2, sec_level=0, digit_group=2
+    )
+    ks = keys_mod.keygen(
+        ctx,
+        seed=17,
+        galois_elts=[pow(5, s, 2 * ctx.n) for s in (1, 2)],
+        need_relin=True,
+    )
+    enc = ckks.CkksEncoder(ctx)
+    encryptor = ckks.CkksEncryptor(ctx, ks, seed=27)
+    rng = np.random.default_rng(5)
+    a = encryptor.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+    b = encryptor.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+    ev = Evaluator(ctx, ks)
+    mesh = mesh_mod.make_mesh(8, ("sp",), shape=(8,))
+    spe = sp_eval.SpEvaluator(ctx, ks, mesh)
+
+    want = ev.rotate_sum(
+        ev.rescale_to_next(ev.relinearize(ev.multiply(a, b))), [0, 1, 2]
+    )
+
+    def pipeline(x, y):
+        return spe.rotate_sum(
+            spe.rescale_to_next(spe.relinearize(spe.multiply(x, y))),
+            [0, 1, 2],
+        )
+
+    got = spe.unshard(jax.jit(pipeline)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    assert got.level == want.level
+
+
 def test_sp_collectives_counted(setup):
     """The compiled sharded pipeline must actually communicate: at least
     one all-to-all per NTT phase transition, with measured payload bytes
