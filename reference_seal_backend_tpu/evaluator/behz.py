@@ -81,6 +81,11 @@ class BehzTables:
         q_primes = ctx.data_primes
         aux = ctx.aux_primes  # k+1 primes, base B
         bsk = ctx.bsk_primes  # aux + (m_sk,)
+        # The lazy-range tricks below (raw Karatsuba sums into mont_mul,
+        # [0, 2p) conversion trees) assume every prime < 2**30 — which
+        # BfvContext's 30-bit chain guarantees; guard against other uses.
+        if any(p >= 1 << 30 for p in q_primes + bsk):
+            raise ValueError("BEHZ tables require all primes < 2**30")
         q = ctx.q
         t = ctx.t
         B = 1
@@ -192,15 +197,45 @@ def _mod_sum_axis(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.squeeze(x, axis=axis)
 
 
+def _mod_sum_axis_lazy(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reduction-tree sum of LAZY [0, 2p) terms along ``axis``; result in
+    [0, 2p).  Valid because every BEHZ prime is < 2**30 (BfvContext's
+    30-bit cap), so a raw pair-add stays < 4p < 2**32.  The conversion
+    terms come from shoup_mul_lazy — 4 ops cheaper each on the
+    [k, kb, N]-sized tensors that dominate the base conversions."""
+    p2 = p + p
+    n = x.shape[axis]
+    idx = lambda s: tuple(
+        s if d == axis % x.ndim else slice(None) for d in range(x.ndim)
+    )
+    while n > 1:
+        half = n // 2
+        a = x[idx(slice(0, half))]
+        b = x[idx(slice(half, 2 * half))]
+        rest = x[idx(slice(2 * half, n))]
+        x = jnp.concatenate(
+            [modops.reduce_2p(a + b, p2), rest], axis=axis
+        )
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+def _canon(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[0, 2p) -> [0, p): single conditional subtract."""
+    return x - (x >= p).astype(jnp.uint32) * p
+
+
 def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     """x (normal coeff, [..., k, N] over q) -> x in Bsk, exactly (the
     m_tilde Montgomery reduction cancels the conversion overflow)."""
     y = modops.shoup_mul(x_q, *tb.mtilde_qhinv, tb.q_p)
-    # x*_j = Σ_i y_i · (q̂_i mod p_j), p_j ∈ Bsk
-    terms = modops.shoup_mul(
+    # x*_j = Σ_i y_i · (q̂_i mod p_j), p_j ∈ Bsk — lazy terms/tree; xs
+    # stays in [0, 2p): its only consumer below is an exact any-uint32
+    # shoup_mul, so no canonical epilogue is needed.
+    terms = modops.shoup_mul_lazy(
         y[..., :, None, :], *tb.qh_mod_bsk, tb.bsk_p
     )  # [..., k, kb, N]
-    xs = _mod_sum_axis(terms, tb.bsk_p, axis=-3)
+    xs = _mod_sum_axis_lazy(terms, tb.bsk_p, axis=-3)
     # x*_mtilde = Σ_i y_i · (q̂_i mod 2^16)  (wraparound keeps low 16 bits)
     xt = jnp.sum((y & _MASK16) * tb.qh_mod_mtilde, axis=-2) & _MASK16
     r = (xt * tb.neg_qinv_mtilde) & _MASK16  # ≡ -α (mod m_tilde)
@@ -218,10 +253,13 @@ def _fbc_q_to_bsk(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     """Plain fast base conversion q -> Bsk (may carry +αq, α < k, absorbed
     as noise by the surrounding floor)."""
     y = modops.shoup_mul(x_q, *tb.plain_qhinv, tb.q_p)
-    terms = modops.shoup_mul(
+    terms = modops.shoup_mul_lazy(
         y[..., :, None, :], *tb.qh_mod_bsk, tb.bsk_p
     )
-    return _mod_sum_axis(terms, tb.bsk_p, axis=-3)
+    # Canonicalize: the caller feeds this into mod_sub.
+    return _canon(
+        _mod_sum_axis_lazy(terms, tb.bsk_p, axis=-3), tb.bsk_p
+    )
 
 
 def _sk_to_q(tb: BehzTables, y_bsk: jnp.ndarray) -> jnp.ndarray:
@@ -242,10 +280,11 @@ def _sk_to_q(tb: BehzTables, y_bsk: jnp.ndarray) -> jnp.ndarray:
         msk_p,
     )  # [..., 1, N] in [0, m_sk)
     flag = (alpha > tb.half_msk).astype(jnp.uint32)
-    terms_q = modops.shoup_mul(
+    terms_q = modops.shoup_mul_lazy(
         yp[..., :, None, :], *tb.Bh_mod_q, tb.q_p
     )  # [..., ka, k, N]
-    s = _mod_sum_axis(terms_q, tb.q_p, axis=-3)
+    # Canonicalize for the mod_sub below.
+    s = _canon(_mod_sum_axis_lazy(terms_q, tb.q_p, axis=-3), tb.q_p)
     alpha_term = modops.shoup_mul(
         modops.barrett_reduce_u32(alpha, tb.q_p, tb.q_mu),
         *tb.B_mod_q,
@@ -264,9 +303,10 @@ def _tensor(x, y, p, pni):
     y0, y1 = y[..., 0, :, :], y[..., 1, :, :]
     c0 = modops.mont_mul(x0, y0, p, pni)
     c2 = modops.mont_mul(x1, y1, p, pni)
-    z = modops.mont_mul(
-        modops.mod_add(x0, x1, p), modops.mod_add(y0, y1, p), p, pni
-    )
+    # Raw Karatsuba sums (< 2p each): mont_mul stays exact with [0, p)
+    # output for inputs < 2p since every prime is < 2**30 (see
+    # evaluator/eval.py multiply).
+    z = modops.mont_mul(x0 + x1, y0 + y1, p, pni)
     c1 = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
     return jnp.stack([c0, c1, c2], axis=-3)
 

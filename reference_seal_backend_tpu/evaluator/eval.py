@@ -40,11 +40,21 @@ import jax
 import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
+from reference_seal_backend_tpu.ops import ntt as ntt_mod
 from reference_seal_backend_tpu.schemes.core import Ciphertext, Plaintext
 from reference_seal_backend_tpu.schemes.keys import KeySet, SwitchKey
 from reference_seal_backend_tpu.schemes.params import Context
 
 _SCALE_RTOL = 1e-9
+
+
+def _lazy_ok(ctx: Context) -> bool:
+    """May intermediates ride the Harvey lazy range [0, 2p)?  Requires
+    every prime < 2**30 (plan.lazy) and the XLA NTT path (the opt-in
+    Pallas kernel wants canonical inputs).  Residue VALUES are identical
+    either way — laziness only drops compare+select corrections between
+    range-tolerant ops, so outputs stay bit-exact."""
+    return ctx.plan.lazy and not ntt_mod._pallas_enabled()
 
 
 def _check_binop(a: Ciphertext, b: Ciphertext, check_scale: bool = True):
@@ -171,9 +181,16 @@ class Evaluator:
         # on the framework's headline op (bench.py).
         c0 = modops.mont_mul(a0, b0, p, pni)
         c2 = modops.mont_mul(a1, b1, p, pni)
-        z = modops.mont_mul(
-            modops.mod_add(a0, a1, p), modops.mod_add(b0, b1, p), p, pni
-        )
+        if _lazy_ok(self.ctx):
+            # Raw Karatsuba sums: a0+a1 < 2p < 2**31, and mont_mul is
+            # exact with [0, p) output for inputs < 2p whenever 4p < 2**32
+            # (t = floor((ab + mp)/2**32) < p·(4p/2**32) + p < 2p).  Drops
+            # both modular-add corrections from the headline multiply.
+            z = modops.mont_mul(a0 + a1, b0 + b1, p, pni)
+        else:
+            z = modops.mont_mul(
+                modops.mod_add(a0, a1, p), modops.mod_add(b0, b1, p), p, pni
+            )
         cross = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
         data = jnp.stack([c0, cross, c2], axis=-3)
         return replace(a, data=data, scale=a.scale * b.scale)
@@ -212,15 +229,28 @@ class Evaluator:
         dig = self._hoisted_digits(d, l)
         # 4) inner product with the switch key (Shoup constants: the keys
         #    are per-context constants, normal·Mont lands in Montgomery
-        #    form) and accumulate over source digits.
-        tb = modops.shoup_mul(
-            dig, self._cat_key(key.b, l), self._cat_key(key.bs, l), p_t
-        )
-        ta = modops.shoup_mul(
-            dig, self._cat_key(key.a, l), self._cat_key(key.as_, l), p_t
-        )
-        acc_b = _mod_sum(tb, p_t, axis=-3)
-        acc_a = _mod_sum(ta, p_t, axis=-3)
+        #    form) and accumulate over source digits.  Lazy path: terms in
+        #    [0, 2p) (shoup_mul_lazy is exact for the [0, 4p) digits), sum
+        #    stays lazy, and the mod-down below consumes [0, 2p) directly
+        #    (its iNTT is Harvey-tolerant, its Shoup multiplies exact).
+        if _lazy_ok(self.ctx):
+            tb = modops.shoup_mul_lazy(
+                dig, self._cat_key(key.b, l), self._cat_key(key.bs, l), p_t
+            )
+            ta = modops.shoup_mul_lazy(
+                dig, self._cat_key(key.a, l), self._cat_key(key.as_, l), p_t
+            )
+            acc_b = _mod_sum_lazy(tb, p_t, axis=-3)
+            acc_a = _mod_sum_lazy(ta, p_t, axis=-3)
+        else:
+            tb = modops.shoup_mul(
+                dig, self._cat_key(key.b, l), self._cat_key(key.bs, l), p_t
+            )
+            ta = modops.shoup_mul(
+                dig, self._cat_key(key.a, l), self._cat_key(key.as_, l), p_t
+            )
+            acc_b = _mod_sum(tb, p_t, axis=-3)
+            acc_a = _mod_sum(ta, p_t, axis=-3)
         # 5) divide-and-round by the special modulus.
         kb = self._mod_down_special(acc_b, l)
         ka = self._mod_down_special(acc_a, l)
@@ -236,13 +266,22 @@ class Evaluator:
         ctx = self.ctx
         l = level
         G = ctx.digit_group
+        lazy = _lazy_ok(ctx)
         # 1) digits: coefficient-domain residues per live limb.
         d_coeff = ctx.plan.inv(d, lo=0)
         p_t, _, mu_t = self._switch_targets(l)
         if G == 1:
             d_norm = modops.from_mont(d_coeff, ctx.p[:l], ctx.p_neg_inv[:l])
             # 2) lift each source digit onto all targets (live ∪ special).
-            lifted = modops.barrett_reduce_u32(
+            # Lazy path: the lift stays in [0, 2p) — the Harvey NTT below
+            # accepts it, and the digits' consumers (shoup_mul inner
+            # products) are exact for any uint32 representative.
+            barrett = (
+                modops.barrett_reduce_u32_lazy
+                if lazy
+                else modops.barrett_reduce_u32
+            )
+            lifted = barrett(
                 d_norm[..., :, None, :], p_t, mu_t
             )  # [..., l_src, l+ns, N]
         else:
@@ -254,12 +293,22 @@ class Evaluator:
             v = modops.mont_mul(
                 d_coeff, ihat, ctx.p[:l], ctx.p_neg_inv[:l]
             )  # [..., l, N] normal form
-            contrib = modops.shoup_mul(
-                modops.barrett_reduce_u32(v[..., :, None, :], p_t, mu_t),
-                W,
-                Ws,
-                p_t,
-            )  # [..., l, l+ns, N]
+            if lazy:
+                contrib = modops.shoup_mul_lazy(
+                    modops.barrett_reduce_u32_lazy(
+                        v[..., :, None, :], p_t, mu_t
+                    ),
+                    W,
+                    Ws,
+                    p_t,
+                )  # [..., l, l+ns, N] in [0, 2p)
+            else:
+                contrib = modops.shoup_mul(
+                    modops.barrett_reduce_u32(v[..., :, None, :], p_t, mu_t),
+                    W,
+                    Ws,
+                    p_t,
+                )  # [..., l, l+ns, N]
             nd = ctx.dig_count(l)
             pad = nd * G - l
             if pad:
@@ -271,17 +320,32 @@ class Evaluator:
                 *contrib.shape[:-3], nd, G, *contrib.shape[-2:]
             )
             lifted = grp[..., 0, :, :]
+            p2_t = p_t + p_t
             for gi in range(1, G):
-                lifted = modops.mod_add(lifted, grp[..., gi, :, :], p_t)
+                if lazy:
+                    lifted = modops.reduce_2p(
+                        lifted + grp[..., gi, :, :], p2_t
+                    )
+                else:
+                    lifted = modops.mod_add(lifted, grp[..., gi, :, :], p_t)
             # [..., n_dig, l+ns, N]
         # 3) forward NTT per target modulus (normal form stays normal).
-        data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0)
-        sp_part = ctx.plan.fwd(lifted[..., l:, :], lo=ctx.sp_row)
+        # Lazy path: skip the canonical epilogue — the inner product's
+        # shoup_mul is exact for digits in [0, 4p).
+        data_part = ctx.plan.fwd(lifted[..., :l, :], lo=0, epilogue=not lazy)
+        sp_part = ctx.plan.fwd(
+            lifted[..., l:, :], lo=ctx.sp_row, epilogue=not lazy
+        )
         return jnp.concatenate([data_part, sp_part], axis=-2)
 
     def _mod_down_special(self, x: jnp.ndarray, l: int) -> jnp.ndarray:
         """[..., l+ns, N] (live + special rows, NTT Mont) -> [..., l, N]
         Montgomery form of round(x / P).
+
+        ``x`` may arrive LAZY in [0, 2p) (key_switch / rotate_sum inner
+        products): the special-row iNTT is Harvey-tolerant and every live
+        row passes through an exact any-uint32 shoup_mul, so the result
+        is bit-identical to canonical input.
 
         n_special == 1: the exact centered divide-and-round (bit-identical
         to the pre-grouping path).  n_special > 1: single-shot fast base
@@ -310,7 +374,9 @@ class Evaluator:
         u = contrib[..., 0, :, :]
         for s in range(1, ns):
             u = modops.mod_add(u, contrib[..., s, :, :], p_l)
-        u_ntt = ctx.plan.fwd(u, lo=0)
+        # u_ntt only feeds the fully-reducing shoup_mul below (exact for
+        # any uint32), so the lazy NTT's canonical epilogue is skippable.
+        u_ntt = ctx.plan.fwd(u, lo=0, epilogue=not _lazy_ok(ctx))
         return modops.mod_sub(
             modops.shoup_mul(x[..., :l, :], invP, invPs, p_l),
             modops.shoup_mul(u_ntt, invPm, invPms, p_l),
@@ -356,12 +422,18 @@ class Evaluator:
             )
 
         live = slice(0, l)
-        out = combine(x[..., :l, :], ctx.plan.fwd(lift(live), lo=0), live)
+        # w_ntt only feeds combine's fully-reducing shoup_mul (exact for
+        # any uint32) — skip the lazy NTT's canonical epilogue.
+        epi = not _lazy_ok(ctx)
+        out = combine(
+            x[..., :l, :], ctx.plan.fwd(lift(live), lo=0, epilogue=epi), live
+        )
         if j == 0:
             return out
         sps = slice(ctx.L, dr)  # remaining special rows 0..j-1
         out_sp = combine(
-            x[..., l:k, :], ctx.plan.fwd(lift(sps), lo=ctx.L), sps
+            x[..., l:k, :], ctx.plan.fwd(lift(sps), lo=ctx.L, epilogue=epi),
+            sps,
         )
         return jnp.concatenate([out, out_sp], axis=-2)
 
@@ -595,6 +667,8 @@ class Evaluator:
                 out = modops.mod_add(out, a.data, p)
             return replace(a, data=out)
         p_t, _, _ = self._switch_targets(l)
+        lazy = _lazy_ok(ctx)
+        p2_t = p_t + p_t
         _, P_dev, Q_dev = self._p5_tables()
         # ONE gather into p5 order for the shared digits and c0; every
         # per-rotation φ_g is then a roll (see _p5_tables).
@@ -612,12 +686,31 @@ class Evaluator:
             hk = self._hoisted_key_p5(g)
             pair_w = jnp.stack([cat2(hk.b), cat2(hk.a)])  # [2, nd, l+ns, N]
             pair_s = jnp.stack([cat2(hk.bs), cat2(hk.as_)])
-            terms = modops.shoup_mul(
-                dig[..., None, :, :, :], pair_w, pair_s, p_t
-            )  # [..., 2, nd, l+ns, N]
-            acc_g = _mod_sum(terms, p_t, axis=-3)         # [..., 2, l+ns, N]
-            acc_g = self._roll_p5(acc_g, s)               # apply φ_g
-            acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)
+            if lazy:
+                # Inner product rides [0, 2p): lazy Shoup terms, lazy
+                # tree, lazy cross-rotation accumulate — the mod-down
+                # consumes [0, 2p) directly (key_switch's analysis).
+                terms = modops.shoup_mul_lazy(
+                    dig[..., None, :, :, :], pair_w, pair_s, p_t
+                )  # [..., 2, nd, l+ns, N]
+                acc_g = _mod_sum_lazy(terms, p_t, axis=-3)
+                acc_g = self._roll_p5(acc_g, s)           # apply φ_g
+                acc = (
+                    acc_g
+                    if acc is None
+                    else modops.reduce_2p(acc + acc_g, p2_t)
+                )
+            else:
+                terms = modops.shoup_mul(
+                    dig[..., None, :, :, :], pair_w, pair_s, p_t
+                )  # [..., 2, nd, l+ns, N]
+                acc_g = _mod_sum(terms, p_t, axis=-3)     # [..., 2, l+ns, N]
+                acc_g = self._roll_p5(acc_g, s)           # apply φ_g
+                acc = (
+                    acc_g
+                    if acc is None
+                    else modops.mod_add(acc, acc_g, p_t)
+                )
             c0_parts.append(self._roll_p5(c0_p5, s))
         acc = jnp.take(acc, Q_dev, axis=-1)               # back to storage
         kba = self._mod_down_special(acc, l)                # [..., 2, l, N]
@@ -644,6 +737,29 @@ def _mod_sum(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
         b = x[idx(slice(half, 2 * half))]
         rest = x[idx(slice(2 * half, n))]
         x = jnp.concatenate([modops.mod_add(a, b, p), rest], axis=axis)
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+def _mod_sum_lazy(x: jnp.ndarray, p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reduction-tree sum of LAZY terms in [0, 2p) along ``axis``; the
+    result stays in [0, 2p).  Each tree level is a raw add (< 4p, fits
+    uint32 for p < 2**30) plus one conditional 2p-subtract — one op
+    cheaper per pair than the canonical :func:`_mod_sum`, and the terms
+    themselves come from shoup_mul_lazy (4 ops cheaper each)."""
+    p2 = p + p
+    n = x.shape[axis]
+    idx = lambda s: tuple(
+        s if d == axis % x.ndim else slice(None) for d in range(x.ndim)
+    )
+    while n > 1:
+        half = n // 2
+        a = x[idx(slice(0, half))]
+        b = x[idx(slice(half, 2 * half))]
+        rest = x[idx(slice(2 * half, n))]
+        x = jnp.concatenate(
+            [modops.reduce_2p(a + b, p2), rest], axis=axis
+        )
         n = half + (n - 2 * half)
     return jnp.squeeze(x, axis=axis)
 

@@ -132,6 +132,19 @@ def barrett_reduce_u32(v, p, mu):
     return r - (r >= p).astype(U32) * p
 
 
+def barrett_reduce_u32_lazy(v, p, mu):
+    """Barrett reduction to the LAZY range [0, 2p): ``q = umulhi(v, mu)``
+    undershoots floor(v/p) by < 3, so ``r = v - q·p`` lies in [0, 3p) and
+    a single conditional subtract of 2p lands it in [0, 2p).  One
+    compare+select cheaper than :func:`barrett_reduce_u32`; use when the
+    consumer is range-tolerant (shoup_mul — exact for any uint32 — or a
+    Harvey lazy NTT, which accepts [0, 2p) inputs; see ops/ntt.py)."""
+    q = umulhi32(v, mu)
+    r = v - q * p
+    p2 = p + p
+    return r - (r >= p2).astype(U32) * p2
+
+
 def to_mont(x, p, p_neg_inv, r2):
     """Enter Montgomery form: x -> x·R mod p (``r2 = R^2 mod p``)."""
     return mont_mul(x, r2, p, p_neg_inv)

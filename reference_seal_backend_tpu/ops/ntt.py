@@ -150,7 +150,9 @@ class NttPlan:
 
     # -- transforms ---------------------------------------------------------
 
-    def fwd(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
+    def fwd(
+        self, x: jnp.ndarray, lo: int = 0, epilogue: bool = True
+    ) -> jnp.ndarray:
         """Forward negacyclic NTT of [..., l, N] residues.
 
         ``lo`` selects which rows of the plan's limb stack the data
@@ -158,13 +160,24 @@ class NttPlan:
         lower level passes its prefix of limbs with lo=0; the key-switch
         special-modulus row passes lo = L_full - 1.  Montgomery/normal
         form is preserved (the butterfly is form-invariant).
+
+        Range contract on the ``lazy`` (Harvey) path: inputs may be LAZY
+        in [0, 2p) — the first-stage butterfly only needs u < 2p to keep
+        the [0, 4p) invariant — and ``epilogue=False`` skips the final
+        full reduction, returning values in [0, 4p) whose residues are
+        exact.  Callers whose next op is range-tolerant (shoup_mul is
+        exact for any uint32) use that to drop two compare+selects per
+        element from the key-switch digit pipeline (evaluator/eval.py
+        _hoisted_digits).  Non-lazy plans (a prime >= 2**30) and the
+        opt-in Pallas kernel require canonical inputs and always return
+        canonical outputs.
         """
         if self.n2:
             if _pallas_enabled():
                 from reference_seal_backend_tpu.ops.pallas import ntt_kernel
 
                 return ntt_kernel.transform(self, x, lo, inverse=False)
-            return self._fwd_mat(x, lo)
+            return self._fwd_mat(x, lo, epilogue)
         n = self.n
         lead = x.shape[:-1]
         nl = x.shape[-2]
@@ -181,11 +194,13 @@ class NttPlan:
             )
             x = jnp.stack([a, b], axis=-2).reshape(*lead, n)
             m, t = m * 2, t // 2
-        if self.lazy:
+        if self.lazy and epilogue:
             x = modops.reduce_4p_full(x, self.p[lo : lo + nl])
         return x
 
-    def _fwd_mat(self, x: jnp.ndarray, lo: int) -> jnp.ndarray:
+    def _fwd_mat(
+        self, x: jnp.ndarray, lo: int, epilogue: bool = True
+    ) -> jnp.ndarray:
         """Four-step-layout forward NTT (same stages, TPU-friendly strides)."""
         n, n1, n2, s1 = self.n, self.n1, self.n2, self.s1
         bits = n.bit_length() - 1
@@ -220,12 +235,17 @@ class NttPlan:
                 self.lazy, False,
             )
             xt = jnp.stack([a, b], axis=-3).reshape(*lead, n2, n1)
-        if self.lazy:
+        if self.lazy and epilogue:
             xt = modops.reduce_4p_full(xt, self.p[lo : lo + nl, :, None])
         return jnp.swapaxes(xt, -1, -2).reshape(*lead, n)
 
     def inv(self, x: jnp.ndarray, lo: int = 0) -> jnp.ndarray:
-        """Inverse negacyclic NTT (exact inverse of :meth:`fwd`)."""
+        """Inverse negacyclic NTT (exact inverse of :meth:`fwd`).
+
+        On the lazy path inputs may be in [0, 2p) (the first GS stage
+        forms u+v < 4p and u-v+2p < 4p, both inside the Harvey
+        invariant); the final N^{-1} shoup_mul is exact for any uint32,
+        so outputs are always canonical."""
         if self.n2:
             if _pallas_enabled():
                 from reference_seal_backend_tpu.ops.pallas import ntt_kernel

@@ -161,12 +161,20 @@ class SpEvaluator:
         return d
 
     def add_plain(self, a: SpCiphertext, pt: Plaintext) -> SpCiphertext:
-        """evaluator/eval.py add_plain in sp layout (CKKS only — the sp
-        path is the CKKS workload pipeline)."""
+        """evaluator/eval.py add_plain in sp layout (BFV plaintexts get
+        the Δ scaling, as in the single-device path)."""
         if pt.level != a.level:
             raise ValueError("plaintext level mismatch")
         p = _c3(self.ctx.p[: a.level])
-        c0 = modops.mod_add(a.data[..., 0, :, :, :], self._pt_sp(pt), p)
+        pt_data = self._pt_sp(pt)
+        if self.ctx.scheme == "bfv":
+            pt_data = modops.shoup_mul(
+                pt_data,
+                _c3(self.ctx.delta_plain[: a.level]),
+                _c3(self.ctx.delta_shoup[: a.level]),
+                p,
+            )
+        c0 = modops.mod_add(a.data[..., 0, :, :, :], pt_data, p)
         data = jnp.concatenate(
             [c0[..., None, :, :, :], a.data[..., 1:, :, :, :]], axis=-4
         )
@@ -207,10 +215,10 @@ class SpEvaluator:
 
     def multiply(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
         """Karatsuba ct-ct multiply, op-for-op evaluator/eval.py
-        Evaluator.multiply (bit-exact).  CKKS NTT-dyadic only — the BEHZ
-        BFV multiply is not yet threaded through the sharded base plans."""
+        Evaluator.multiply (bit-exact).  BFV routes through the sharded
+        BEHZ pipeline (:meth:`_bfv_multiply`)."""
         if self.ctx.scheme == "bfv":
-            raise NotImplementedError("sp multiply supports CKKS only")
+            return self._bfv_multiply(a, b)
         l = a.level
         p = _c3(self.ctx.p[:l])
         pni = _c3(self.ctx.p_neg_inv[:l])
@@ -224,6 +232,151 @@ class SpEvaluator:
         cross = modops.mod_sub(modops.mod_sub(z, c0, p), c2, p)
         data = jnp.stack([c0, cross, c2], axis=-4)
         return replace(a, data=data, scale=a.scale * b.scale)
+
+    def _bfv_multiply(self, a: SpCiphertext, b: SpCiphertext) -> SpCiphertext:
+        """BEHZ BFV ct-ct multiply with every NTT sweep distributed —
+        op-for-op evaluator/behz.py bfv_multiply (bit-exact): the q ∪ Bsk
+        stacked plan (tb.mult_plan) threads through the plan-parametric
+        sharded four-step kernel, and every base-conversion step is
+        elementwise in the (n1, n2) space axes, so the whole multiply
+        still costs 4 serial transform sweeps with ONE all_to_all each."""
+        from reference_seal_backend_tpu.evaluator import behz
+
+        ctx, mesh, ax, ba = self.ctx, self.mesh, self.axis, self.batch_axes
+        tb = behz.tables_for(ctx)
+        k = ctx.L
+        if a.size != 2 or b.size != 2:
+            raise NotImplementedError("bfv multiply expects size-2 inputs")
+        # [k, 1] / scalar-pair constants -> sp broadcast [k, 1, 1]
+        c2c = lambda pair: (_c3(pair[0]), _c3(pair[1]))
+        # [k, kb, 1] cross-base tables -> [k, kb, 1, 1]
+        c3p = lambda pair: (pair[0][..., None], pair[1][..., None])
+        q_p = _c3(tb.q_p)
+        bsk_p = _c3(tb.bsk_p)
+
+        shape = jnp.broadcast_shapes(a.data.shape, b.data.shape)
+        nlead = len(shape) - 4  # leading batch dims (dp×sp composes)
+        abx = (slice(None),) * nlead
+        ab = jnp.stack(
+            [jnp.broadcast_to(a.data, shape), jnp.broadcast_to(b.data, shape)],
+            axis=nlead,
+        )  # [batch..., 2ab, 2, k, n2, n1] NTT Montgomery
+        ab_mat = sharded_ntt.inv(ctx.plan, ab, mesh, ax, lo=0, batch_axes=ba)
+        ab_q = modops.from_mont(ab_mat, q_p, _c3(tb.q_pni))
+        # -- fast base conversion q -> Bsk ∪ {m_tilde} (behz
+        #    _conv_to_bsk_mtilde with one extra space axis) ----------------
+        y = modops.shoup_mul(ab_q, *c2c(tb.mtilde_qhinv), q_p)
+        terms = modops.shoup_mul_lazy(
+            y[..., :, None, :, :], *c3p(tb.qh_mod_bsk), bsk_p
+        )  # [..., k, kb, n1, n2]
+        xs = behz._mod_sum_axis_lazy(terms, bsk_p, axis=-4)
+        xt = (
+            jnp.sum((y & behz._MASK16) * _c3(tb.qh_mod_mtilde), axis=-3)
+            & behz._MASK16
+        )
+        r = (xt * tb.neg_qinv_mtilde) & behz._MASK16
+        flag = (r > behz._HALF_MTILDE).astype(jnp.uint32)[..., None, :, :]
+        r = r[..., None, :, :]
+        ab_bsk = modops.mod_sub(
+            modops.mod_add(
+                modops.shoup_mul(xs, *c2c(tb.mtilde_inv_bsk), bsk_p),
+                modops.shoup_mul(r, *c2c(tb.q_mtilde_inv_bsk), bsk_p),
+                bsk_p,
+            ),
+            flag * _c3(tb.q_mod_bsk),
+            bsk_p,
+        )
+        # -- tensor product over the stacked q ∪ Bsk base -------------------
+        x_all = jnp.concatenate([ab_q, ab_bsk], axis=-3)
+        all_p = _c3(tb.all_p)
+        x_a = modops.shoup_mul(
+            x_all[abx + (slice(0, 1),)], *c2c(tb.all_r1), all_p
+        )  # operand a enters Montgomery form
+        x_all = jnp.concatenate(
+            [x_a, x_all[abx + (slice(1, 2),)]], axis=nlead
+        )
+        ntt_all = sharded_ntt.fwd(
+            tb.mult_plan, x_all, mesh, ax, lo=0, batch_axes=ba
+        )  # [..., 2ab, 2, k+kb, n2, n1]
+        xa = ntt_all[abx + (0,)]
+        yb = ntt_all[abx + (1,)]
+        all_pni = _c3(tb.all_pni)
+        x0, x1 = xa[..., 0, :, :, :], xa[..., 1, :, :, :]
+        y0, y1 = yb[..., 0, :, :, :], yb[..., 1, :, :, :]
+        t0 = modops.mont_mul(x0, y0, all_p, all_pni)
+        t2 = modops.mont_mul(x1, y1, all_p, all_pni)
+        # raw Karatsuba sums: exact for primes < 2**30 (behz._tensor)
+        z = modops.mont_mul(x0 + x1, y0 + y1, all_p, all_pni)
+        t1 = modops.mod_sub(modops.mod_sub(z, t0, all_p), t2, all_p)
+        prod_t = jnp.stack([t0, t1, t2], axis=-4)
+        prod = sharded_ntt.inv(
+            tb.mult_plan, prod_t, mesh, ax, lo=0, batch_axes=ba
+        )  # [..., 3, k+kb, n1, n2] normal coeff
+        prod_q = prod[..., :k, :, :]
+        prod_bsk = prod[..., k:, :, :]
+        # -- scale by t, floor-divide by q in Bsk (behz fast_floor) ---------
+        tc_q = modops.shoup_mul(prod_q, *c2c(tb.t_mod_q), q_p)
+        tc_bsk = modops.shoup_mul(prod_bsk, *c2c(tb.t_mod_bsk), bsk_p)
+        y2 = modops.shoup_mul(tc_q, *c2c(tb.plain_qhinv), q_p)
+        fbc = behz._canon(
+            behz._mod_sum_axis_lazy(
+                modops.shoup_mul_lazy(
+                    y2[..., :, None, :, :], *c3p(tb.qh_mod_bsk), bsk_p
+                ),
+                bsk_p,
+                axis=-4,
+            ),
+            bsk_p,
+        )
+        y_bsk = modops.shoup_mul(
+            modops.mod_sub(tc_bsk, fbc, bsk_p), *c2c(tb.qinv_bsk), bsk_p
+        )
+        # -- exact Shenoy-Kumaresan Bsk -> q (behz _sk_to_q) ----------------
+        ka_ = len(tb.ctx.aux_primes)
+        y_B = y_bsk[..., :ka_, :, :]
+        y_msk = y_bsk[..., ka_:, :, :]
+        msk_p = _c3(tb.bsk_p[ka_:])
+        yp = modops.shoup_mul(y_B, *c2c(tb.Bh_inv), _c3(tb.bsk_p[:ka_]))
+        conv_msk = behz._mod_sum_axis(
+            modops.shoup_mul(yp, *c2c(tb.Bh_mod_msk), msk_p)[
+                ..., :, None, :, :
+            ],
+            msk_p,
+            axis=-4,
+        )
+        alpha = modops.shoup_mul(
+            modops.mod_sub(conv_msk, y_msk, msk_p), *tb.Binv_msk, msk_p
+        )
+        aflag = (alpha > tb.half_msk).astype(jnp.uint32)
+        s = behz._canon(
+            behz._mod_sum_axis_lazy(
+                modops.shoup_mul_lazy(
+                    yp[..., :, None, :, :], *c3p(tb.Bh_mod_q), q_p
+                ),
+                q_p,
+                axis=-4,
+            ),
+            q_p,
+        )
+        alpha_term = modops.shoup_mul(
+            modops.barrett_reduce_u32(alpha, q_p, _c3(tb.q_mu)),
+            *c2c(tb.B_mod_q),
+            q_p,
+        )
+        out_q = modops.mod_add(
+            modops.mod_sub(s, alpha_term, q_p),
+            aflag * _c3(tb.msk_B_mod_q),
+            q_p,
+        )
+        out_ntt = sharded_ntt.fwd(
+            ctx.plan,
+            modops.shoup_mul(out_q, *c2c(tb.q_r1), q_p),
+            mesh,
+            ax,
+            lo=0,
+            batch_axes=ba,
+        )
+        return SpCiphertext(data=out_ntt, level=k, scale=1.0)
 
     # -- key switching ---------------------------------------------------------
 

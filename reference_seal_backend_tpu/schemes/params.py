@@ -390,27 +390,64 @@ def _resolve_digit_group(requested, sec_level: int, n: int, gen):
     """Resolve the key-switch digit grouping for a scheme context.
 
     ``gen(ns) -> (data_primes, special_primes)`` generates the chain with
-    ``ns`` special primes.  ``requested`` None = auto: prefer G=2 (2-prime
-    special modulus) when the chain has >= 4 data limbs and — at
-    sec_level 128 — the extra special prime still fits the HE-standard
-    bound (checked on the EXACT generated bit widths); otherwise fall back
-    to the ungrouped G=1 chain.  An explicit ``requested`` G is honored
-    as given with G special primes (Context's security check still
-    applies and may refuse it).
+    ``ns`` special primes.  ``requested`` None = auto: climb a G ladder
+    (1 -> 2 -> 3 -> 4), upgrading only when the NTT-row model
+
+        R(G) = ceil(l/G)·(l+G) + 2l + G
+
+    (digit-lift forward rows + digit iNTT + mod-down sweeps) improves by
+    > 20% over the incumbent — the stability margin that reproduces the
+    chip-measured optima (scripts/chip_check.py groupcmp, v5e
+    2026-08-20): l=6 -> G=2 (G=3 wins only hoisted rotate_sum, loses
+    single switches to mod-down overhead), l=14 -> G=3 (mrr −4%,
+    rotate_sum8 −16% vs G=2; G=4 regresses single rotates 20%), BFV
+    l=4 -> G=2.  Upgrades are gated on feasibility, checked on the EXACT
+    generated chains:
+
+      * the chain with G special primes fits the HE-standard 128-bit
+        bound (sec-128 contexts only upgrade when secure);
+      * ceil(l/G) >= 2 — a single digit is no decomposition (noise ∝ Q/P
+        blows up);
+      * every digit group's product <= P = Π specials (the standard
+        hybrid key-switch noise condition).
+
+    Auto mode only upgrades production (sec-128) contexts: tiny
+    sec_level=0 test chains keep the ungrouped layout unless a test opts
+    in explicitly.  An explicit ``requested`` G is honored as given with
+    G special primes (Context's security check still applies and may
+    refuse it).
     """
     if requested is not None:
         G = int(requested)
         data, specials = gen(max(G, 1))
         return G, data, specials
-    data, specials = gen(2)
-    total = sum(p.bit_length() for p in data + specials)
-    # Auto mode only upgrades production (sec-128) contexts: tiny
-    # sec_level=0 test chains keep the ungrouped layout unless a test
-    # opts in explicitly with digit_group=2.
-    if sec_level == 128 and len(data) >= 4 and total <= max_coeff_bits_128(n):
-        return 2, data, specials
-    data, specials = gen(1)
-    return 1, data, specials
+    best = (1,) + gen(1)
+    if sec_level != 128:
+        return best
+    cap = max_coeff_bits_128(n)
+    R = lambda l, G: -(-l // G) * (l + G) + 2 * l + G
+    for G in (2, 3, 4):
+        data, specials = gen(G)
+        l = len(data)
+        if -(-l // G) < 2:
+            continue
+        if sum(p.bit_length() for p in data + specials) > cap:
+            continue
+        P = 1
+        for p in specials:
+            P *= p
+        if any(_prod(data[g0 : g0 + G]) > P for g0 in range(0, l, G)):
+            continue
+        if R(len(best[1]), best[0]) > 1.2 * R(l, G):
+            best = (G, data, specials)
+    return best
+
+
+def _prod(ps):
+    q = 1
+    for p in ps:
+        q *= p
+    return q
 
 
 class CkksContext(Context):

@@ -172,8 +172,11 @@ def roofline(n: int) -> None:
     print(json.dumps(out))
 
 
-def groupcmp(n: int, depth: int = 2, sec: int = 128, batch: int = 8) -> None:
-    """Digit grouping G=1 vs G=2 on the key-switch-bound ops (round 3):
+def groupcmp(
+    n: int, depth: int = 2, sec: int = 128, batch: int = 8,
+    gs=(1, 2),
+) -> None:
+    """Digit grouping G comparison on the key-switch-bound ops (round 3):
     same workload semantics, measured on the real chip with correctness
     gates (decrypt-compare) before timing."""
     from dataclasses import replace as _rep
@@ -184,7 +187,7 @@ def groupcmp(n: int, depth: int = 2, sec: int = 128, batch: int = 8) -> None:
 
     print(f"backend: {jax.default_backend()} N={n} depth={depth}")
     rng = np.random.default_rng(0)
-    for G in (1, 2):
+    for G in gs:
         ctx = make_ckks_context(
             poly_modulus_degree=n, mult_depth=depth, digit_group=G,
             sec_level=sec,
@@ -304,6 +307,9 @@ def main() -> None:
             depth=int(sys.argv[3]) if len(sys.argv) > 3 else 2,
             sec=int(sys.argv[4]) if len(sys.argv) > 4 else 128,
             batch=int(sys.argv[5]) if len(sys.argv) > 5 else 8,
+            gs=tuple(
+                int(g) for g in sys.argv[6].split(",")
+            ) if len(sys.argv) > 6 else (1, 2),
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "groupparts":

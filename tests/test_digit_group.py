@@ -134,6 +134,54 @@ def test_grouped_bfv_exact():
     assert np.array_equal(got_r, want_r)
 
 
+def test_grouped_g3_ckks():
+    """G=3 over a 3-prime special modulus: exercises the multi-prime
+    single-shot FBC mod-down at ns=3 and a partial top group (L=6 splits
+    3+3; after one rescale l=4 splits 3+1)."""
+    ctx = make_ckks_context(
+        poly_modulus_degree=N, mult_depth=2, sec_level=0, digit_group=3
+    )
+    assert ctx.digit_group == 3 and ctx.n_special == 3
+    assert ctx.dig_count(ctx.L) == -(-ctx.L // 3)
+    ks = keys_mod.keygen(
+        ctx, seed=13, galois_elts=(pow(5, 1, 2 * ctx.n),), need_relin=True
+    )
+    enc = ckks.CkksEncoder(ctx)
+    er = ckks.CkksEncryptor(ctx, ks, seed=13)
+    de = ckks.CkksDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    rng = np.random.default_rng(17)
+    va = rng.uniform(-1, 1, ctx.slots)
+    vb = rng.uniform(-1, 1, ctx.slots)
+    ca = er.encrypt_pt(enc.encode(va))
+    cb = er.encrypt_pt(enc.encode(vb))
+    out = ev.rescale_to_next(ev.relinearize(ev.multiply(ca, cb)))
+    assert np.max(np.abs(np.real(de.decrypt(out)) - va * vb)) < EPS
+    got = np.real(de.decrypt(ev.rotate(out, 1)))
+    assert np.max(np.abs(got - np.roll(va * vb, -1))) < EPS
+    got2 = np.real(de.decrypt(ev.rotate_sum(ca, [0, 1])))
+    assert np.max(np.abs(got2 - (va + np.roll(va, -1)))) < 2 * EPS
+
+
+def test_grouped_g3_bfv_exact():
+    """BFV G=3 with L=4 data limbs: nd=2 with a zero-padded top group
+    (pad=2) — the padded-digit path must stay exact."""
+    ctx = make_bfv_context(poly_modulus_degree=N, sec_level=0, digit_group=3)
+    assert ctx.digit_group == 3 and ctx.n_special == 3
+    ks = keys_mod.keygen(ctx, seed=19, need_relin=True)
+    enc = bfv.BfvBatchEncoder(ctx)
+    er = bfv.BfvEncryptor(ctx, ks, seed=19)
+    de = bfv.BfvDecryptor(ctx, ks)
+    ev = Evaluator(ctx, ks)
+    rng = np.random.default_rng(23)
+    ia = rng.integers(-50, 50, ctx.slots)
+    ib = rng.integers(-50, 50, ctx.slots)
+    ca = er.encrypt_pt(enc.encode(ia))
+    cb = er.encrypt_pt(enc.encode(ib))
+    got = de.decrypt(ev.relinearize(ev.multiply(ca, cb)))
+    assert np.array_equal(got, ia * ib)
+
+
 def test_p5_order_identity():
     """The power-of-5 orbit order (Context.p5_order): P/Q are inverse
     permutations and φ_{5^s} in p5 coordinates is exactly a roll by s
@@ -173,6 +221,15 @@ def test_auto_resolution_respects_he_standard_budget():
     # sec_level=0 test chains stay ungrouped unless explicitly requested
     tiny = make_ckks_context(poly_modulus_degree=N, mult_depth=2, sec_level=0)
     assert tiny.digit_group == 1 and tiny.n_special == 1
+    # N=32768 depth-6 (the staged logreg chain, l=14): the auto ladder
+    # climbs to G=3 — the chip-measured best compromise (params.py
+    # _resolve_digit_group docstring); G=4's single-rotate regression
+    # keeps it out.
+    c32k = make_ckks_context(
+        poly_modulus_degree=32768, mult_depth=6, scale_bits=50
+    )
+    assert c32k.digit_group == 3 and c32k.n_special == 3
+    assert c32k.secure_128
 
 
 def test_descriptor_timing_attributes_roundtrip(tmp_path):
