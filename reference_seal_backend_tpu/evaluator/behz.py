@@ -100,7 +100,13 @@ class BehzTables:
         self.mtilde_qhinv = _pair(
             (_MTILDE * qh_inv[i] for i in range(k)), q_primes
         )
-        self.plain_qhinv = _pair(qh_inv, q_primes)
+        # step-4 fusion: the ×t scaling of prod_q and the floor-divide
+        # FBC's q̂_i^{-1} pre-multiply are consecutive constant Shoup
+        # multiplies — folded into one constant (t·q̂_i^{-1} mod q_i),
+        # saving a full [3, k, N] shoup_mul sweep per multiply.
+        self.t_qhinv = _pair(
+            (t * qh_inv[i] for i in range(k)), q_primes
+        )
         # q̂_i mod p_j for p_j in Bsk: [k, kb, 1] Shoup pairs
         self.qh_mod_bsk = _pair2(
             [[qh[i] for _ in bsk] for i in range(k)], bsk
@@ -121,8 +127,8 @@ class BehzTables:
         self.q_mod_bsk = jnp.asarray(
             np.array([[q % pj] for pj in bsk], dtype=np.uint32)
         )
-        # step 4: ×t then floor-divide by q in Bsk
-        self.t_mod_q = _pair((t for _ in q_primes), q_primes)
+        # step 4: ×t then floor-divide by q in Bsk (the q-side ×t is
+        # fused into t_qhinv above)
         self.t_mod_bsk = _pair((t for _ in bsk), bsk)
         self.qinv_bsk = _pair((pow(q % pj, -1, pj) for pj in bsk), bsk)
         # step 5 (Shenoy-Kumaresan, base B -> q via m_sk)
@@ -249,10 +255,12 @@ def _conv_to_bsk_mtilde(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
     return modops.mod_sub(out, flag * tb.q_mod_bsk, tb.bsk_p)
 
 
-def _fbc_q_to_bsk(tb: BehzTables, x_q: jnp.ndarray) -> jnp.ndarray:
+def _fbc_q_to_bsk(tb: BehzTables, x_q: jnp.ndarray, pair) -> jnp.ndarray:
     """Plain fast base conversion q -> Bsk (may carry +αq, α < k, absorbed
-    as noise by the surrounding floor)."""
-    y = modops.shoup_mul(x_q, *tb.plain_qhinv, tb.q_p)
+    as noise by the surrounding floor).  ``pair`` is the Shoup constant of
+    the q̂^{-1} pre-multiply — fast_floor passes the fused t·q̂^{-1}
+    (tb.t_qhinv) so the ×t scaling costs no extra sweep."""
+    y = modops.shoup_mul(x_q, *pair, tb.q_p)
     terms = modops.shoup_mul_lazy(
         y[..., :, None, :], *tb.qh_mod_bsk, tb.bsk_p
     )
@@ -353,11 +361,14 @@ def bfv_multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     prod_q = prod[..., :k, :]
     prod_bsk = prod[..., k:, :]
 
-    # scale by t, floor-divide by q (in Bsk), convert exactly back to q
-    tc_q = modops.shoup_mul(prod_q, *tb.t_mod_q, tb.q_p)
+    # scale by t, floor-divide by q (in Bsk), convert exactly back to q;
+    # the q-side ×t rides the FBC pre-multiply (tb.t_qhinv — one fused
+    # constant sweep instead of two)
     tc_bsk = modops.shoup_mul(prod_bsk, *tb.t_mod_bsk, tb.bsk_p)
     y_bsk = modops.shoup_mul(
-        modops.mod_sub(tc_bsk, _fbc_q_to_bsk(tb, tc_q), tb.bsk_p),
+        modops.mod_sub(
+            tc_bsk, _fbc_q_to_bsk(tb, prod_q, tb.t_qhinv), tb.bsk_p
+        ),
         *tb.qinv_bsk,
         tb.bsk_p,
     )

@@ -467,7 +467,9 @@ class Evaluator:
             flag * ctx.div_mod[drop, :drop][:, None],
             ctx.p[:drop],
         )
-        w_ntt = ctx.plan.fwd(w, lo=0)
+        # w_ntt only feeds the fully-reducing shoup_mul below (exact for
+        # any uint32) — skip the lazy NTT's canonical epilogue.
+        w_ntt = ctx.plan.fwd(w, lo=0, epilogue=not _lazy_ok(ctx))
         p = ctx.p[:drop]
         sel = lambda t: t[drop, :drop][:, None]
         return modops.mod_sub(

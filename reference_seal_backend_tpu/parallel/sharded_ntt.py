@@ -117,12 +117,15 @@ def _specs(ndim: int, axis: str, batch_axes) -> P:
 
 
 def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0,
-        batch_axes: tuple = ()):
+        batch_axes: tuple = (), epilogue: bool = True):
     """Forward NTT of matrix-view residues [..., l, n1, n2], n2 sharded on
     mesh axis ``axis``; returns transposed layout [..., l, n2, n1] sharded
     on its last axis.  ``batch_axes`` names mesh axes carrying the leading
     batch dims (data parallelism composed with sp).  Bit-exact vs
-    NttPlan._fwd_mat (see tests)."""
+    NttPlan._fwd_mat (see tests), including its range contract: lazy
+    plans accept inputs in [0, 2p), and ``epilogue=False`` skips the
+    final canonicalising reduction so range-tolerant consumers (Shoup
+    inner products) read the raw [0, 4p) stage output."""
     d = mesh.shape[axis]
     n1_loc = plan.n1 // d
 
@@ -138,7 +141,7 @@ def fwd(plan, x: jnp.ndarray, mesh: Mesh, axis: str = "sp", lo: int = 0,
         xt = _transpose_a2a(x1, axis)
         col0 = jax.lax.axis_index(axis) * n1_loc
         out = _phase2(plan, xt, lo, n1_loc, col0, inverse=False)
-        if plan.lazy:
+        if plan.lazy and epilogue:
             nl = out.shape[-3]
             out = modops.reduce_4p_full(out, plan.p[lo : lo + nl, :, None])
         return out

@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from reference_seal_backend_tpu.ops import modops
-from reference_seal_backend_tpu.evaluator.eval import _mod_sum
+from reference_seal_backend_tpu.evaluator.eval import (
+    _lazy_ok,
+    _mod_sum,
+    _mod_sum_lazy,
+)
 from reference_seal_backend_tpu.parallel import sharded_ntt
 from reference_seal_backend_tpu.schemes.core import Ciphertext, Plaintext
 from reference_seal_backend_tpu.schemes.keys import KeySet, SwitchKey
@@ -314,10 +318,10 @@ class SpEvaluator:
         )  # [..., 3, k+kb, n1, n2] normal coeff
         prod_q = prod[..., :k, :, :]
         prod_bsk = prod[..., k:, :, :]
-        # -- scale by t, floor-divide by q in Bsk (behz fast_floor) ---------
-        tc_q = modops.shoup_mul(prod_q, *c2c(tb.t_mod_q), q_p)
+        # -- scale by t, floor-divide by q in Bsk (behz fast_floor; the
+        #    q-side ×t is fused into tb.t_qhinv) --------------------------
         tc_bsk = modops.shoup_mul(prod_bsk, *c2c(tb.t_mod_bsk), bsk_p)
-        y2 = modops.shoup_mul(tc_q, *c2c(tb.plain_qhinv), q_p)
+        y2 = modops.shoup_mul(prod_q, *c2c(tb.t_qhinv), q_p)
         fbc = behz._canon(
             behz._mod_sum_axis_lazy(
                 modops.shoup_mul_lazy(
@@ -394,13 +398,22 @@ class SpEvaluator:
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
         plan = ctx.plan
         G = ctx.digit_group
+        lazy = _lazy_ok(ctx)
         d_mat = sharded_ntt.inv(plan, d, mesh, ax, lo=0, batch_axes=self.batch_axes)  # [..., l, n1, n2]
         p_t, mu_t = self._targets3(l)
         if G == 1:
             d_norm = modops.from_mont(
                 d_mat, _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
             )
-            lifted = modops.barrett_reduce_u32(
+            # Lazy path (evaluator/eval.py _hoisted_digits): the lift
+            # stays in [0, 2p) — the Harvey NTT accepts it and the inner
+            # products are exact for any uint32 representative.
+            barrett = (
+                modops.barrett_reduce_u32_lazy
+                if lazy
+                else modops.barrett_reduce_u32
+            )
+            lifted = barrett(
                 d_norm[..., :, None, :, :], p_t, mu_t
             )  # [..., l_src, l+ns, n1, n2]
         else:
@@ -408,12 +421,24 @@ class SpEvaluator:
             v = modops.mont_mul(
                 d_mat, _c3(ihat), _c3(ctx.p[:l]), _c3(ctx.p_neg_inv[:l])
             )  # [..., l, n1, n2] normal: d_k·(Q_g/q_k)^{-1}
-            contrib = modops.shoup_mul(
-                modops.barrett_reduce_u32(v[..., :, None, :, :], p_t, mu_t),
-                _c3(W),
-                _c3(Ws),
-                p_t,
-            )  # [..., l, l+ns, n1, n2]
+            if lazy:
+                contrib = modops.shoup_mul_lazy(
+                    modops.barrett_reduce_u32_lazy(
+                        v[..., :, None, :, :], p_t, mu_t
+                    ),
+                    _c3(W),
+                    _c3(Ws),
+                    p_t,
+                )  # [..., l, l+ns, n1, n2] in [0, 2p)
+            else:
+                contrib = modops.shoup_mul(
+                    modops.barrett_reduce_u32(
+                        v[..., :, None, :, :], p_t, mu_t
+                    ),
+                    _c3(W),
+                    _c3(Ws),
+                    p_t,
+                )  # [..., l, l+ns, n1, n2]
             nd = ctx.dig_count(l)
             pad = nd * G - l
             if pad:
@@ -425,12 +450,25 @@ class SpEvaluator:
                 *contrib.shape[:-4], nd, G, *contrib.shape[-3:]
             )
             lifted = grp[..., 0, :, :, :]
+            p2_t = p_t + p_t
             for gi in range(1, G):
-                lifted = modops.mod_add(lifted, grp[..., gi, :, :, :], p_t)
-        data_part = sharded_ntt.fwd(plan, lifted[..., :l, :, :], mesh, ax, lo=0, batch_axes=self.batch_axes)
+                if lazy:
+                    lifted = modops.reduce_2p(
+                        lifted + grp[..., gi, :, :, :], p2_t
+                    )
+                else:
+                    lifted = modops.mod_add(
+                        lifted, grp[..., gi, :, :, :], p_t
+                    )
+        # Lazy path: skip the canonical epilogue — the inner product's
+        # shoup_mul is exact for digits in [0, 4p).
+        data_part = sharded_ntt.fwd(
+            plan, lifted[..., :l, :, :], mesh, ax, lo=0,
+            batch_axes=self.batch_axes, epilogue=not lazy,
+        )
         sp_part = sharded_ntt.fwd(
             plan, lifted[..., l:, :, :], mesh, ax, lo=ctx.sp_row,
-            batch_axes=self.batch_axes,
+            batch_axes=self.batch_axes, epilogue=not lazy,
         )
         return jnp.concatenate([data_part, sp_part], axis=-3)
 
@@ -438,8 +476,12 @@ class SpEvaluator:
         """[..., l+ns, n2, n1] NTT Mont -> [..., l, n2, n1] Montgomery form
         of round(x / P) — evaluator/eval.py _mod_down_special (exact
         centered peel at ns=1; single-shot FBC at ns>1), NTTs
-        distributed."""
+        distributed.  ``x`` may arrive LAZY in [0, 2p): the special-row
+        iNTT is Harvey-tolerant and every live row passes through an
+        exact any-uint32 shoup_mul (same analysis as the single-device
+        path)."""
         ctx, mesh, ax = self.ctx, self.mesh, self.axis
+        epi = not _lazy_ok(ctx)
         sp = ctx.sp_row
         ns = ctx.n_special
         plan = ctx.plan
@@ -455,7 +497,12 @@ class SpEvaluator:
                 flag * ctx.div_mod[sp, :l][:, None, None],
                 _c3(ctx.p[:l]),
             )
-            w_ntt = sharded_ntt.fwd(plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
+            # w_ntt only feeds the fully-reducing shoup_mul below (exact
+            # for any uint32) — skip the lazy NTT's canonical epilogue.
+            w_ntt = sharded_ntt.fwd(
+                plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes,
+                epilogue=epi,
+            )
             sel = lambda t: t[sp, :l][:, None, None]
             return modops.mod_sub(
                 modops.shoup_mul(
@@ -488,7 +535,12 @@ class SpEvaluator:
         u = contrib[..., 0, :, :, :]
         for si in range(1, ns):
             u = modops.mod_add(u, contrib[..., si, :, :, :], p)
-        u_ntt = sharded_ntt.fwd(plan, u, mesh, ax, lo=0, batch_axes=self.batch_axes)
+        # u_ntt only feeds the fully-reducing shoup_mul below (exact for
+        # any uint32) — skip the lazy NTT's canonical epilogue.
+        u_ntt = sharded_ntt.fwd(
+            plan, u, mesh, ax, lo=0, batch_axes=self.batch_axes,
+            epilogue=epi,
+        )
         return modops.mod_sub(
             modops.shoup_mul(x[..., :l, :, :], _c3(invP), _c3(invPs), p),
             modops.shoup_mul(u_ntt, _c3(invPm), _c3(invPms), p),
@@ -525,12 +577,21 @@ class SpEvaluator:
         key; returns (kb, ka) each [..., l, n2, n1] NTT Montgomery."""
         l = level
         p_t, _ = self._targets3(l)
-        dig = self._digits(d, l)  # [..., l, l+1, n2, n1]
+        dig = self._digits(d, l)  # [..., n_dig, l+ns, n2, n1]
         kb, ka, kbs, kas = self._key_t(key, l)
-        tb = modops.shoup_mul(dig, kb, kbs, p_t)
-        ta = modops.shoup_mul(dig, ka, kas, p_t)
-        acc_b = _mod_sum(tb, p_t, axis=-4)
-        acc_a = _mod_sum(ta, p_t, axis=-4)
+        if _lazy_ok(self.ctx):
+            # evaluator/eval.py key_switch's lazy range analysis: terms in
+            # [0, 2p) (shoup_mul_lazy exact for the [0, 4p) digits), sum
+            # stays lazy, the mod-down consumes [0, 2p) directly.
+            tb = modops.shoup_mul_lazy(dig, kb, kbs, p_t)
+            ta = modops.shoup_mul_lazy(dig, ka, kas, p_t)
+            acc_b = _mod_sum_lazy(tb, p_t, axis=-4)
+            acc_a = _mod_sum_lazy(ta, p_t, axis=-4)
+        else:
+            tb = modops.shoup_mul(dig, kb, kbs, p_t)
+            ta = modops.shoup_mul(dig, ka, kas, p_t)
+            acc_b = _mod_sum(tb, p_t, axis=-4)
+            acc_a = _mod_sum(ta, p_t, axis=-4)
         return self._mod_down(acc_b, l), self._mod_down(acc_a, l)
 
     def relinearize(self, a: SpCiphertext) -> SpCiphertext:
@@ -592,27 +653,63 @@ class SpEvaluator:
 
     # -- hoisted rotations -----------------------------------------------------
 
-    def _hoist_key_t(self, g: int, l: int):
-        """Hoisted Galois key for element ``g`` in sp layout: the inverse
-        automorphism φ_{g^{-1}} pre-applied along the flat slot axis
-        (evaluator/eval.py _hoisted_key), then the cat2 selection
-        relayouted to [2(b,a), l, l+1, n2, n1] stacks (host-side,
-        one-time)."""
-        ck = ("hoist", g, l)
-        if ck not in self._key_cache:
-            key = self.keys.galois[g]
-            g_inv = pow(g, -1, 2 * self.ctx.n)
-            perm = np.asarray(self.ctx.plan.galois_perm(g_inv))
-            sp = self.ctx.sp_row
-            nd = self.ctx.dig_count(l)
-            ns = self.ctx.n_special
+    def _perm_flat(self, x: jnp.ndarray, perm_t: jnp.ndarray) -> jnp.ndarray:
+        """Apply a flat slot permutation to sp-layout trailing (n2, n1)."""
+        lead = x.shape[:-2]
+        flat = x.reshape(*lead, self.n1 * self.n2)
+        return jnp.take(flat, perm_t, axis=-1).reshape(x.shape)
+
+    def _p5_sp(self):
+        """Power-of-5 orbit-order gathers for the sp layout (cached):
+        (P_sp, Q_sp) with  x_p5 = flat_sp(x)[..., P_sp]  in true p5 index
+        order and  flat_sp(x) = x_p5[..., Q_sp]  back — the single-device
+        p5-roll trick (evaluator/eval.py rotate_sum / params.Context
+        .p5_order) composed with the sp layout's (n2, n1) transpose, so a
+        sharded rotate_sum pays TWO cross-shard gathers total instead of
+        one per rotation (each per-rotation φ_g is then a roll: slices,
+        local or one collective-permute over ICI)."""
+        if "p5sp" not in self._perm_cache:
             n1, n2 = self.n1, self.n2
+            P_np = np.asarray(self.ctx.p5_order()[0])
+            Q_np = np.empty_like(P_np)
+            Q_np[P_np] = np.arange(P_np.size)
+            # sp-flat index j holds storage index (j % n1)*n2 + j // n1
+            # (to_sp_layout's transpose); invert that map around P/Q.
+            P_sp = (P_np % n2) * n1 + P_np // n2
+            k = np.arange(n1 * n2)
+            Q_sp = Q_np[(k % n1) * n2 + k // n1]
+            with jax.ensure_compile_time_eval():
+                self._perm_cache["p5sp"] = (
+                    jnp.asarray(P_sp.astype(np.int32)),
+                    jnp.asarray(Q_sp.astype(np.int32)),
+                )
+        return self._perm_cache["p5sp"]
+
+    def _hoist_key_p5(self, g: int, l: int):
+        """Hoisted rotate_sum key stacks for element ``g`` in flat p5
+        order: φ_{g^{-1}} pre-applied then the p5 re-order (host-side,
+        one-time; prefers the keygen-precomputed ``keys.galois_p5``),
+        cat-key selected to [2(b,a), n_dig, l+ns, N]."""
+        ck = ("p5", g, l)
+        if ck not in self._key_cache:
+            ctx = self.ctx
+            sp, nd = ctx.sp_row, ctx.dig_count(l)
+            kp5 = getattr(self.keys, "galois_p5", None)
+            if kp5 and g in kp5:
+                key = kp5[g]
+                idx = None
+            else:
+                key = self.keys.galois[g]
+                g_inv = pow(g, -1, 2 * ctx.n)
+                idx = np.asarray(ctx.plan.galois_perm(g_inv))[
+                    np.asarray(ctx.p5_order()[0])
+                ]
 
             def prep(arr):
-                a = np.take(np.asarray(arr), perm, axis=-1)
-                a = np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
-                a = a.reshape(nd, l + ns, n1, n2).swapaxes(-1, -2)
-                return np.ascontiguousarray(a)
+                a = np.asarray(arr)
+                if idx is not None:
+                    a = np.take(a, idx, axis=-1)
+                return np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
 
             with jax.ensure_compile_time_eval():
                 pair_w = jnp.asarray(np.stack([prep(key.b), prep(key.a)]))
@@ -622,19 +719,16 @@ class SpEvaluator:
             self._key_cache[ck] = (pair_w, pair_s)
         return self._key_cache[ck]
 
-    def _perm_flat(self, x: jnp.ndarray, perm_t: jnp.ndarray) -> jnp.ndarray:
-        """Apply a flat slot permutation to sp-layout trailing (n2, n1)."""
-        lead = x.shape[:-2]
-        flat = x.reshape(*lead, self.n1 * self.n2)
-        return jnp.take(flat, perm_t, axis=-1).reshape(x.shape)
-
     def rotate_sum(
         self, a: SpCiphertext, steps: Sequence[int]
     ) -> SpCiphertext:
         """Σ_s rotate(a, s) with ONE hoisted digit decomposition and ONE
         mod-down shared across all rotations — op-for-op the arithmetic of
         evaluator/eval.py Evaluator.rotate_sum (bit-exact), with every NTT
-        sweep distributed.  Together with accumulate()'s duck typing this
+        sweep distributed.  Like the single-device path, the shared digits
+        and c0 are gathered into p5 orbit order ONCE and each rotation's
+        φ_g is a roll (two slices — no per-rotation cross-shard gather);
+        see :meth:`_p5_sp`.  Together with accumulate()'s duck typing this
         runs the dot-product BSGS accumulate fully sp-sharded."""
         ctx = self.ctx
         if a.size != 2:
@@ -651,27 +745,62 @@ class SpEvaluator:
             for _ in range(n_id - 1):
                 out = modops.mod_add(out, a.data, p3)
             return replace(a, data=out)
-        p_t, _ = self._targets3(l)
-        dig = self._digits(a.data[..., 1, :, :, :], l)
-        acc = None           # [..., 2(b,a), l+1, n2, n1] pre-mod-down sum
-        c0_parts = []        # permuted c0 components
+        # flat targets: p5-ordered tensors carry a single flat slot axis.
+        cat = lambda arr: jnp.concatenate(
+            [arr[:l], arr[ctx.sp_row :]], axis=0
+        )
+        p_t = cat(ctx.p)                           # [l+ns, 1]
+        lazy = _lazy_ok(ctx)
+        p2_t = p_t + p_t
+        P_sp, Q_sp = self._p5_sp()
+        n1n2 = self.n1 * self.n2
+        flat = lambda x: x.reshape(*x.shape[:-2], n1n2)
+        unflat = lambda x: x.reshape(*x.shape[:-1], self.n2, self.n1)
+        from reference_seal_backend_tpu.evaluator.eval import Evaluator
+
+        dig = jnp.take(
+            flat(self._digits(a.data[..., 1, :, :, :], l)), P_sp, axis=-1
+        )  # [..., n_dig, l+ns, N] p5 order
+        c0_p5 = jnp.take(flat(a.data[..., 0, :, :, :]), P_sp, axis=-1)
+        acc = None           # [..., 2(b,a), l+ns, N] pre-mod-down, p5 order
+        c0_parts = []        # rolled c0 components, [..., l, N] p5 order
         for s in nonzero:
             g = pow(5, s, 2 * n)
             if self.keys is None or g not in self.keys.galois:
                 raise ValueError(f"missing Galois key for element {g}")
-            pair_w, pair_s = self._hoist_key_t(g, l)
-            terms = modops.shoup_mul(
-                dig[..., None, :, :, :, :], pair_w, pair_s, p_t
-            )  # [..., 2, l, l+1, n2, n1]
-            acc_g = _mod_sum(terms, p_t, axis=-4)  # [..., 2, l+1, n2, n1]
-            perm_t = self._galois_perm_t(g)
-            acc_g = self._perm_flat(acc_g, perm_t)  # apply φ_g
-            acc = acc_g if acc is None else modops.mod_add(acc, acc_g, p_t)
-            c0_parts.append(
-                self._perm_flat(a.data[..., 0, :, :, :], perm_t)
-            )
+            pair_w, pair_s = self._hoist_key_p5(g, l)
+            if lazy:
+                # Inner product rides [0, 2p): lazy Shoup terms, lazy
+                # tree, lazy cross-rotation accumulate — the mod-down
+                # consumes [0, 2p) directly (key_switch's analysis).
+                terms = modops.shoup_mul_lazy(
+                    dig[..., None, :, :, :], pair_w, pair_s, p_t
+                )  # [..., 2, n_dig, l+ns, N]
+                acc_g = _mod_sum_lazy(terms, p_t, axis=-3)
+                acc_g = Evaluator._roll_p5(acc_g, s)  # apply φ_g
+                acc = (
+                    acc_g
+                    if acc is None
+                    else modops.reduce_2p(acc + acc_g, p2_t)
+                )
+            else:
+                terms = modops.shoup_mul(
+                    dig[..., None, :, :, :], pair_w, pair_s, p_t
+                )  # [..., 2, n_dig, l+ns, N]
+                acc_g = _mod_sum(terms, p_t, axis=-3)  # [..., 2, l+ns, N]
+                acc_g = Evaluator._roll_p5(acc_g, s)   # apply φ_g
+                acc = (
+                    acc_g
+                    if acc is None
+                    else modops.mod_add(acc, acc_g, p_t)
+                )
+            c0_parts.append(Evaluator._roll_p5(c0_p5, s))
+        acc = unflat(jnp.take(acc, Q_sp, axis=-1))  # back to sp layout
         kba = self._mod_down(acc, l)               # [..., 2, l, n2, n1]
-        c0_rot = _mod_sum(jnp.stack(c0_parts), p3, axis=0)
+        c0_rot = unflat(
+            jnp.take(_mod_sum(jnp.stack(c0_parts), ctx.p[:l], axis=0),
+                     Q_sp, axis=-1)
+        )
         c0 = modops.mod_add(c0_rot, kba[..., 0, :, :, :], p3)
         c1 = kba[..., 1, :, :, :]
         for _ in range(n_id):
@@ -710,7 +839,13 @@ class SpEvaluator:
                 flag * ctx.div_mod[drop, :drop][:, None, None],
                 _c3(ctx.p[:drop]),
             )
-            w_ntt = sharded_ntt.fwd(ctx.plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes)
+            # w_ntt only feeds the fully-reducing shoup_mul below — skip
+            # the lazy NTT's canonical epilogue (evaluator/eval.py
+            # _drop_one_scaled).
+            w_ntt = sharded_ntt.fwd(
+                ctx.plan, w, mesh, ax, lo=0, batch_axes=self.batch_axes,
+                epilogue=not _lazy_ok(ctx),
+            )
             p = _c3(ctx.p[:drop])
             sel = lambda t: t[drop, :drop][:, None, None]
             data = modops.mod_sub(
