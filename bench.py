@@ -7,22 +7,30 @@ line the driver parses (first or last) always carries the headline — round 2
 timed out with NOTHING recorded because the old structure ran the whole
 suite before printing anything (VERDICT r2, weak #1).
 
-Structure (VERDICT r2 item 1):
+Structure (VERDICT r2 item 1, hardened per VERDICT r3 items 1/2/5):
   1. Measure + gate the headline (bare CKKS ct-ct multiply at N=16384, the
      reference's eltwise-mult hot op — /root/reference
      src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343) with a
      MINIMAL keygen, emit immediately.
-  2. Run the extras (mult+relin+rescale, rotate, hoisted rotate_sum, BFV
-     BEHZ multiply, dot-product latency, logreg N=16384 and the
-     staged-config-5 N=32768 run) each behind its own correctness gate AND
-     a wall-clock budget: before each extra, if the remaining budget is
-     below that extra's cost estimate it is recorded in ``skipped`` instead
-     of overrunning the driver's timeout.  Budget env var:
-     ``RSB_TPU_BENCH_BUDGET_S`` (default 420 s).
+  2. Run the extras cheapest-first, each behind its own correctness gate
+     AND a wall-clock budget check (``RSB_TPU_BENCH_BUDGET_S``, default
+     420 s).  Per-step cost estimates are WARM persistent-cache figures
+     scaled by a COLD FACTOR calibrated from the measured headline
+     duration vs its known warm duration — a cold-cache run skips
+     expensive steps instead of overrunning the driver's timeout (the
+     round-3 failure: warm estimates, cold run, 969 s elapsed on a 420 s
+     budget).  The three key-switch metrics are budget-checked
+     INDIVIDUALLY (they share one lazily-built context/keyset).
+  3. Per-step wall times are recorded in ``timings`` so any skip decision
+     is auditable from the BENCH artifact alone.
 
-``bench_suite.json`` is rewritten after every step (always valid JSON) and
-scripts/gen_perf_table.py regenerates README.md's performance table from it
-— numbers are generated, never hand-typed.
+``bench_suite.json`` is only overwritten by a record at least as complete
+as the one already on disk (same-or-superset extras keys): a partial
+budget-limited run can never clobber a full committed record (VERDICT r3
+item 2).  Every run also writes ``bench_suite.latest.json`` (gitignored)
+with its own freshest state.  scripts/gen_perf_table.py regenerates
+README.md's performance table from bench_suite.json — numbers are
+generated, never hand-typed.
 
 ``vs_baseline`` compares the headline against SEAL's single-core ct-ct
 multiply throughput at N=16384 ≈ 150 ops/s (vanilla SEAL, the reference
@@ -64,6 +72,10 @@ BATCH_KS = 8    # key-switch-op batch (digit tensors are l²-sized)
 EPS = 5e-5      # the reference's CKKS decode epsilon
 
 BUDGET_S = float(os.environ.get("RSB_TPU_BENCH_BUDGET_S", "420"))
+RESERVE_S = 10.0  # tail reserve for emits/teardown
+# Measured warm-persistent-cache headline duration (keygen + encrypt +
+# cache-hit compile + 2 s measurement), used to calibrate the cold factor.
+WARM_HEADLINE_S = 35.0
 _T0 = time.monotonic()
 
 RESULT: dict = {
@@ -73,6 +85,8 @@ RESULT: dict = {
     "vs_baseline": None,
     "extras": {},
     "skipped": [],
+    "timings": {},
+    "cold_factor": None,
     "budget_s": BUDGET_S,
     "date": time.strftime("%Y-%m-%d", time.gmtime()),
 }
@@ -82,16 +96,36 @@ def _elapsed() -> float:
     return time.monotonic() - _T0
 
 
+def _more_complete(new: dict, old: dict) -> bool:
+    """True iff ``new`` may overwrite ``old``: a real headline and extras
+    at least as complete (superset of keys — never fewer metrics)."""
+    if new.get("value") is None:
+        return False
+    if not isinstance(old, dict) or old.get("value") is None:
+        return True
+    return set(new.get("extras", {})) >= set(old.get("extras", {}))
+
+
 def _emit() -> None:
-    """Write bench_suite.json and print the full result as one JSON line.
+    """Print the full result as one JSON line and persist it.
 
     Called after every completed step: the LAST complete line on stdout is
     always the most complete result, and the FIRST emitted line already
-    carries the headline."""
+    carries the headline.  bench_suite.json is promoted only when the new
+    record is at least as complete as what is already there; the freshest
+    state of THIS run always lands in bench_suite.latest.json."""
     RESULT["elapsed_s"] = round(_elapsed(), 1)
     line = json.dumps(RESULT)
-    with open("bench_suite.json", "w") as f:
+    with open("bench_suite.latest.json", "w") as f:
         f.write(line + "\n")
+    try:
+        with open("bench_suite.json") as f:
+            old = json.load(f)
+    except Exception:
+        old = {}
+    if _more_complete(RESULT, old):
+        with open("bench_suite.json", "w") as f:
+            f.write(line + "\n")
     print(line, flush=True)
 
 
@@ -159,70 +193,88 @@ def headline() -> None:
     RESULT["vs_baseline"] = round(ops / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2)
 
 
-def ckks_keyswitch_suite(extras):
-    """mult+relin+rescale, rotate, hoisted rotate_sum — one full keygen."""
-    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
-    ks = keys_mod.keygen(
-        ctx, seed=1234, galois_elts=(pow(5, 1, 2 * ctx.n),)
-        + tuple(pow(5, s, 2 * ctx.n) for s in range(2, 8)),
-        need_relin=True,
-    )
-    enc = ckks.CkksEncoder(ctx)
-    encryptor = ckks.CkksEncryptor(ctx, ks, seed=1234)
-    decryptor = ckks.CkksDecryptor(ctx, ks)
-    ev = Evaluator(ctx, ks)
-    rng = np.random.default_rng(1234)
-    va = rng.uniform(-1, 1, ctx.slots)
-    vb = rng.uniform(-1, 1, ctx.slots)
-    ca = encryptor.encrypt_pt(enc.encode(va))
-    cb = encryptor.encrypt_pt(enc.encode(vb))
-    a8, b8 = _broadcast(ca, BATCH_KS), _broadcast(cb, BATCH_KS)
+class _KsState:
+    """Shared context/keys/operands for the three key-switch metrics,
+    built once on first use (so each metric gets its own budget check
+    without tripling the keygen cost — VERDICT r3 item 1)."""
 
-    # multiply + relinearize + rescale (the workload multiply path)
+    def __init__(self):
+        self._built = False
+
+    def ensure(self):
+        if self._built:
+            return self
+        ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
+        ks = keys_mod.keygen(
+            ctx, seed=1234, galois_elts=(pow(5, 1, 2 * ctx.n),)
+            + tuple(pow(5, s, 2 * ctx.n) for s in range(2, 8)),
+            need_relin=True,
+        )
+        enc = ckks.CkksEncoder(ctx)
+        encryptor = ckks.CkksEncryptor(ctx, ks, seed=1234)
+        self.decryptor = ckks.CkksDecryptor(ctx, ks)
+        self.ev = Evaluator(ctx, ks)
+        rng = np.random.default_rng(1234)
+        self.va = rng.uniform(-1, 1, ctx.slots)
+        self.vb = rng.uniform(-1, 1, ctx.slots)
+        ca = encryptor.encrypt_pt(enc.encode(self.va))
+        cb = encryptor.encrypt_pt(enc.encode(self.vb))
+        self.a8, self.b8 = _broadcast(ca, BATCH_KS), _broadcast(cb, BATCH_KS)
+        self._built = True
+        return self
+
+
+def ks_mult_relin_rescale(st: _KsState, extras):
+    """multiply + relinearize + rescale (the workload multiply path)."""
+    st.ensure()
     mrr = jax.jit(
-        lambda x, y: ev.rescale_to_next(ev.relinearize(ev.multiply(x, y)))
+        lambda x, y: st.ev.rescale_to_next(st.ev.relinearize(st.ev.multiply(x, y)))
     )
-    out = mrr(a8, b8)
+    out = mrr(st.a8, st.b8)
     _gate(
         "mult_relin_rescale",
-        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
-        va * vb,
+        np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
+        st.va * st.vb,
         5e-4,
     )
     extras["ckks_mult_relin_rescale_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(mrr, lambda o: o.data, a8, b8), 1
+        BATCH_KS * _throughput(mrr, lambda o: o.data, st.a8, st.b8), 1
     )
-    _emit()
 
-    # rotate by 1 (Galois key switch)
-    rot = jax.jit(lambda x: ev.rotate(x, 1))
-    out = rot(a8)
+
+def ks_rotate(st: _KsState, extras):
+    """rotate by 1 (Galois key switch)."""
+    st.ensure()
+    rot = jax.jit(lambda x: st.ev.rotate(x, 1))
+    out = rot(st.a8)
     _gate(
         "rotate",
-        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
-        np.roll(va, -1),
+        np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
+        np.roll(st.va, -1),
         5e-4,
     )
     extras["ckks_rotate_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(rot, lambda o: o.data, a8), 1
+        BATCH_KS * _throughput(rot, lambda o: o.data, st.a8), 1
     )
-    _emit()
 
-    # hoisted 8-rotation sum (MatMultRow / small-count accumulate path)
+
+def ks_rotate_sum(st: _KsState, extras):
+    """hoisted 8-rotation sum (MatMultRow / small-count accumulate path)."""
+    st.ensure()
     steps = list(range(8))
-    rsum = jax.jit(lambda x: ev.rotate_sum(x, steps))
-    out = rsum(a8)
-    want = np.zeros(ctx.slots)
+    rsum = jax.jit(lambda x: st.ev.rotate_sum(x, steps))
+    out = rsum(st.a8)
+    want = np.zeros(st.va.shape[0])
     for s in steps:
-        want += np.roll(va, -s)
+        want += np.roll(st.va, -s)
     _gate(
         "rotate_sum8",
-        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
+        np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
         want,
         5e-4 * len(steps),
     )
     extras["ckks_rotate_sum8_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(rsum, lambda o: o.data, a8), 1
+        BATCH_KS * _throughput(rsum, lambda o: o.data, st.a8), 1
     )
 
 
@@ -252,10 +304,8 @@ def bfv_suite(extras):
     )
 
 
-def dot_latency(extras):
-    """CKKS dot product n=100 at the descriptor default N=8192 — the
-    workload whose accumulate takes the baby-step/giant-step path
-    (two hoisted key-switches instead of 7 serial tree switches)."""
+def _engine_bench(workload_name: str, category_name: str, scheme_name: str,
+                  params: dict):
     from reference_seal_backend_tpu.engine.descriptor import (
         Category,
         Scheme,
@@ -267,11 +317,18 @@ def dot_latency(extras):
     desc = next(
         d
         for d in engine.descriptors
-        if d.workload is Workload.DOT_PRODUCT
-        and d.category is Category.LATENCY
-        and d.scheme is Scheme.CKKS
+        if d.workload is Workload[workload_name]
+        and d.category is Category[category_name]
+        and d.scheme is Scheme[scheme_name]
     )
-    bench = engine.create_benchmark(desc, {})
+    return engine.create_benchmark(desc, params)
+
+
+def dot_latency(extras):
+    """CKKS dot product n=100 at the descriptor default N=8192 — the
+    workload whose accumulate takes the baby-step/giant-step path
+    (two hoisted key-switches instead of 7 serial tree switches)."""
+    bench = _engine_bench("DOT_PRODUCT", "LATENCY", "CKKS", {})
     n = bench.params["n"]
     rng = np.random.default_rng(1234)
     va = rng.uniform(-1, 1, (1, n))
@@ -287,21 +344,36 @@ def dot_latency(extras):
     )
 
 
-def logreg_latency(extras, poly: int, key: str):
-    from reference_seal_backend_tpu.engine.descriptor import (
-        Category,
-        Workload,
+def eltwise_mult_offline(extras):
+    """CKKS eltwise-multiply Offline samples/s at the registered default
+    (N=8192, n=1000) over a 16x16 sample cross product — the reference's
+    second timing dimension (Offline category, OpenMP collapse(2) over
+    batch0 x batch1, /root/reference
+    src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:306-366;
+    registration src/engine/seal_engine.cpp:108-124).  One result sample =
+    one ct-ct multiply of the 16x16 cross product."""
+    b0 = b1 = 16
+    bench = _engine_bench("ELTWISE_MULT", "OFFLINE", "CKKS", {})
+    n = bench.params["n"]
+    rng = np.random.default_rng(1234)
+    va = rng.uniform(-1, 1, (b0, n))
+    vb = rng.uniform(-1, 1, (b1, n))
+    h = bench.load(bench.encrypt(bench.encode([va, vb])))
+    got = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+    want = (va[:, None, :] * vb[None, :, :]).reshape(b0 * b1, n)
+    _gate("eltwise_mult_offline", np.stack(got), want, EPS)
+    sec_per_batch = (
+        _latency_ms(lambda: bench.block(bench.operate(h)), lambda o: 0, reps=5)
+        / 1e3
     )
-    from reference_seal_backend_tpu.engine.registry import Engine
+    extras["ckks_eltwise_mult_offline_samples_per_sec_n8192"] = round(
+        b0 * b1 / sec_per_batch, 1
+    )
 
-    engine = Engine()
-    desc = next(
-        d
-        for d in engine.descriptors
-        if d.workload is Workload.LOGREG_POLY_D3
-        and d.category is Category.LATENCY
-    )
-    bench = engine.create_benchmark(desc, {"poly_modulus_degree": poly})
+
+def logreg_latency(extras, poly: int, key: str):
+    bench = _engine_bench("LOGREG_POLY_D3", "LATENCY", "CKKS",
+                          {"poly_modulus_degree": poly})
     n = bench.params["n"]
     rng = np.random.default_rng(1234)
     w = rng.uniform(-1, 1, n)
@@ -319,40 +391,89 @@ def logreg_latency(extras, poly: int, key: str):
     )
 
 
+def logreg_offline(extras):
+    """CKKS logreg Offline samples/s at N=16384 with the reference's
+    default batch of 100 (the constant behind the flexible registration,
+    include/benchmarks/ckks/seal_ckks_logreg_horner.h:24; offline
+    data_count {1,1,batch} src/benchmarks/ckks/seal_ckks_logreg_horner.cpp:38-45)."""
+    batch = 100
+    bench = _engine_bench("LOGREG_POLY_D3", "OFFLINE", "CKKS",
+                          {"poly_modulus_degree": 16384, "batch_size": batch})
+    n = bench.params["n"]
+    rng = np.random.default_rng(1234)
+    w = rng.uniform(-1, 1, n)
+    b = float(rng.uniform(-1, 1))
+    x = rng.uniform(-1, 1, (batch, n))
+    h = bench.load(bench.encrypt(bench.encode([w, b, x])))
+    (got,) = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+    z = x @ w + b
+    _gate(
+        "logreg_offline",
+        got,
+        0.5 + 0.15012 * z - 0.0015930078125 * z**3,
+        5e-4,
+    )
+    sec_per_batch = (
+        _latency_ms(lambda: bench.block(bench.operate(h)), lambda o: 0, reps=5)
+        / 1e3
+    )
+    extras["ckks_logreg_offline_b100_samples_per_sec_n16384"] = round(
+        batch / sec_per_batch, 1
+    )
+
+
 def main() -> None:
     extras = RESULT["extras"]
+    t_step = time.monotonic()
     headline()
+    headline_s = time.monotonic() - t_step
+    RESULT["timings"]["headline"] = round(headline_s, 1)
+    # Cold-factor calibration: every per-step estimate below is a measured
+    # WARM figure; a cold persistent cache inflates compiles roughly
+    # uniformly, and the headline (measured either way) exposes the ratio.
+    factor = max(1.0, min(headline_s / WARM_HEADLINE_S, 25.0))
+    RESULT["cold_factor"] = round(factor, 2)
     _emit()  # headline recorded — everything past this point is bonus
 
-    # (name, fn, estimated cost in seconds — warm persistent-cache figures
-    # with headroom for cold compiles; if remaining budget < estimate the
-    # step is skipped by name rather than risking the driver's timeout)
+    ks = _KsState()
+    # (metric name, fn, estimated WARM cost in seconds — measured on the
+    # chip with a hot persistent cache, see timings in BENCH_r04; ordered
+    # cheapest-first so a squeezed budget keeps the most metrics).  The
+    # budget check scales each estimate by the calibrated cold factor.
     steps = [
-        ("ckks_keyswitch_suite", lambda: ckks_keyswitch_suite(extras), 90.0),
-        ("bfv_behz_mult", lambda: bfv_suite(extras), 60.0),
-        ("ckks_dot_n100", lambda: dot_latency(extras), 45.0),
+        ("ckks_dot_n100", lambda: dot_latency(extras), 20.0),
+        ("bfv_behz_mult", lambda: bfv_suite(extras), 25.0),
+        ("ckks_mult_relin_rescale",
+         lambda: ks_mult_relin_rescale(ks, extras), 30.0),
+        ("ckks_rotate", lambda: ks_rotate(ks, extras), 12.0),
+        ("ckks_rotate_sum8", lambda: ks_rotate_sum(ks, extras), 15.0),
+        ("ckks_eltwise_mult_offline",
+         lambda: eltwise_mult_offline(extras), 25.0),
         (
             "ckks_logreg_n16384",
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
-            90.0,
+            40.0,
         ),
+        ("ckks_logreg_offline_b100", lambda: logreg_offline(extras), 35.0),
         (
             "ckks_logreg_n32768",
             lambda: logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms"),
-            150.0,
+            70.0,
         ),
     ]
-    for name, fn, est in steps:
-        if _elapsed() + est > BUDGET_S:
+    for name, fn, warm_est in steps:
+        if _elapsed() + warm_est * factor > BUDGET_S - RESERVE_S:
             RESULT["skipped"].append(name)
             _emit()
             continue
+        t_step = time.monotonic()
         try:
             fn()
         except SystemExit:
             raise
         except Exception as e:  # record, keep the headline alive
             RESULT["skipped"].append(f"{name}: {type(e).__name__}: {e}")
+        RESULT["timings"][name] = round(time.monotonic() - t_step, 1)
         _emit()
 
 

@@ -9,7 +9,9 @@ grab it, or it blocks concurrent benchmarking).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the ambient environment may carry JAX_PLATFORMS=axon
+# (the chip).  Tests must never see it, and subprocesses must inherit cpu.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+from reference_seal_backend_tpu.utils import jaxcfg  # noqa: E402
+
+jaxcfg.setup()  # persistent compile cache (reads JAX_PLATFORMS — now cpu)
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/rsb_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -119,15 +119,16 @@ class HEBenchmark(abc.ABC):
             )
             self.decryptor = bfv_mod.BfvDecryptor(self.ctx, self.keys)
         self.ev = Evaluator(self.ctx, self.keys)
+        self._in_key_trace = False  # jit_with_keys reentrancy guard
         # sp execution: ``sp_shard: k`` runs this benchmark with every
         # polynomial's coefficient axis sharded over a k-device ("sp",)
         # mesh — the SpEvaluator duck-types as self.ev, load/store
         # shard/unshard, and the workload's operate graph is unchanged
-        # (parallel/sp_eval.py; CKKS only).
+        # (parallel/sp_eval.py).  Both schemes: BFV multiplies route
+        # through the sharded BEHZ pipeline (SpEvaluator._bfv_multiply)
+        # and the sp key switch / rotate paths are scheme-agnostic.
         self.sp_shard = int(p.get("sp_shard", 0) or 0)
         if self.sp_shard:
-            if descriptor.scheme is not Scheme.CKKS:
-                raise ValueError("sp_shard supports CKKS benchmarks only")
             from reference_seal_backend_tpu.parallel import mesh as mesh_mod
             from reference_seal_backend_tpu.parallel import sp_eval
 
@@ -150,12 +151,26 @@ class HEBenchmark(abc.ABC):
         (KeySet.galois_p5) precisely so tracing never needs host-side key
         permutation.  sp mode keeps the direct jit: it runs on virtual CPU
         meshes (no remote compile) and SpEvaluator's host-side key
-        relayout cannot take tracers."""
+        relayout prefers concrete arrays (its galois_p5 path is
+        tracer-safe, but the general _key_t relayout is not).
+
+        Single-trace assumption: the keys/ev swap below mutates benchmark
+        state for the duration of ONE trace; two concurrent traces of the
+        same benchmark object would interleave their swaps.  Traces only
+        ever run from this object's own pipeline methods (one thread), so
+        a guard turns any violation into a clean error instead of silent
+        state corruption."""
         if self.sp_shard:
             return jax.jit(fn)
 
         @jax.jit
         def wrapped(keys, *args):
+            if self._in_key_trace:
+                raise RuntimeError(
+                    "concurrent jit_with_keys traces of one benchmark "
+                    "instance (single-trace assumption violated)"
+                )
+            self._in_key_trace = True
             prev_keys, prev_ev = self.keys, self.ev
             self.keys = keys
             self.ev = Evaluator(self.ctx, keys)
@@ -163,6 +178,7 @@ class HEBenchmark(abc.ABC):
                 return fn(*args)
             finally:
                 self.keys, self.ev = prev_keys, prev_ev
+                self._in_key_trace = False
 
         return lambda *args: wrapped(self.keys, *args)
 

@@ -687,37 +687,57 @@ class SpEvaluator:
 
     def _hoist_key_p5(self, g: int, l: int):
         """Hoisted rotate_sum key stacks for element ``g`` in flat p5
-        order: φ_{g^{-1}} pre-applied then the p5 re-order (host-side,
-        one-time; prefers the keygen-precomputed ``keys.galois_p5``),
-        cat-key selected to [2(b,a), n_dig, l+ns, N]."""
+        order: φ_{g^{-1}} pre-applied then the p5 re-order (prefers the
+        keygen-precomputed ``keys.galois_p5``), cat-key selected to
+        [2(b,a), n_dig, l+ns, N].
+
+        The galois_p5 path does the cat-selection with jnp ops (like
+        evaluator/eval.py _cat_key) so switch keys may flow through jit
+        as ARGUMENTS — tracers cannot take the host-side np path, and
+        keys-as-arguments is mandatory at N>=16384 (remote-compile 413
+        limit; see models/base.py jit_with_keys).  Tracer results are
+        never cached (a cached tracer would leak into later traces)."""
         ck = ("p5", g, l)
-        if ck not in self._key_cache:
-            ctx = self.ctx
-            sp, nd = ctx.sp_row, ctx.dig_count(l)
-            kp5 = getattr(self.keys, "galois_p5", None)
-            if kp5 and g in kp5:
-                key = kp5[g]
-                idx = None
-            else:
-                key = self.keys.galois[g]
-                g_inv = pow(g, -1, 2 * ctx.n)
-                idx = np.asarray(ctx.plan.galois_perm(g_inv))[
-                    np.asarray(ctx.p5_order()[0])
-                ]
-
-            def prep(arr):
-                a = np.asarray(arr)
-                if idx is not None:
-                    a = np.take(a, idx, axis=-1)
-                return np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
-
+        if ck in self._key_cache:
+            return self._key_cache[ck]
+        ctx = self.ctx
+        sp, nd = ctx.sp_row, ctx.dig_count(l)
+        kp5 = getattr(self.keys, "galois_p5", None)
+        if kp5 and g in kp5:
+            key = kp5[g]
+            tracer = any(
+                isinstance(arr, jax.core.Tracer)
+                for arr in (key.b, key.a, key.bs, key.as_)
+            )
+            cat = lambda arr: jnp.concatenate(
+                [arr[:nd, :l], arr[:nd, sp:]], axis=1
+            )
+            if tracer:
+                pair_w = jnp.stack([cat(key.b), cat(key.a)])
+                pair_s = jnp.stack([cat(key.bs), cat(key.as_)])
+                return pair_w, pair_s
             with jax.ensure_compile_time_eval():
-                pair_w = jnp.asarray(np.stack([prep(key.b), prep(key.a)]))
-                pair_s = jnp.asarray(
-                    np.stack([prep(key.bs), prep(key.as_)])
-                )
+                pair_w = jnp.stack([cat(key.b), cat(key.a)])
+                pair_s = jnp.stack([cat(key.bs), cat(key.as_)])
             self._key_cache[ck] = (pair_w, pair_s)
-        return self._key_cache[ck]
+            return pair_w, pair_s
+        # Fallback for concrete KeySets without precomputed galois_p5:
+        # host-side one-time permutation (cannot take tracers).
+        key = self.keys.galois[g]
+        g_inv = pow(g, -1, 2 * ctx.n)
+        idx = np.asarray(ctx.plan.galois_perm(g_inv))[
+            np.asarray(ctx.p5_order()[0])
+        ]
+
+        def prep(arr):
+            a = np.take(np.asarray(arr), idx, axis=-1)
+            return np.concatenate([a[:nd, :l], a[:nd, sp:]], axis=1)
+
+        with jax.ensure_compile_time_eval():
+            pair_w = jnp.asarray(np.stack([prep(key.b), prep(key.a)]))
+            pair_s = jnp.asarray(np.stack([prep(key.bs), prep(key.as_)]))
+        self._key_cache[ck] = (pair_w, pair_s)
+        return pair_w, pair_s
 
     def rotate_sum(
         self, a: SpCiphertext, steps: Sequence[int]

@@ -27,8 +27,15 @@ ROWS = [
      "ops/s", "stacked q∪Bsk base plan"),
     ("ckks_dot_n100_latency_ms_n8192", "CKKS dot product n=100, N=8192",
      "ms", "BSGS accumulate: two hoisted key-switches"),
+    ("ckks_eltwise_mult_offline_samples_per_sec_n8192",
+     "CKKS eltwise multiply Offline 16x16, N=8192", "samples/s",
+     "the reference's Offline category: one jitted graph over the "
+     "batch0 x batch1 cross product"),
     ("ckks_logreg_n16384_latency_ms", "CKKS logreg PolyD3 operate, N=16384",
      "ms", "full pipeline: dots -> collapse -> bias -> Horner (depth 6)"),
+    ("ckks_logreg_offline_b100_samples_per_sec_n16384",
+     "CKKS logreg PolyD3 Offline batch=100, N=16384", "samples/s",
+     "reference default batch constant behind the flexible registration"),
     ("ckks_logreg_n32768_latency_ms", "CKKS logreg PolyD3 operate, N=32768",
      "ms", "staged config 5 (BASELINE.md)"),
 ]
