@@ -20,6 +20,27 @@ Everything here is plain `NamedSharding` placement: `jit` + GSPMD
 propagate shardings through the evaluator's pure functions, so workloads
 need no code changes to run sharded — placement of the operand pytrees is
 the whole programming model.
+
+Axis -> fabric contract (SURVEY.md §2.4: "ppermute/all-to-all over ICI,
+with DCN only at the multi-host batch axis").  On a multi-host pod slice:
+
+* ``dp`` — the ciphertext batch axis — is the ONLY axis allowed to span
+  hosts.  Batched HE ops are embarrassingly parallel, so the sole
+  cross-host traffic is result gathers at the pipeline boundary; that is
+  the traffic DCN is for.
+* ``sp`` (and ``limb``) MUST stay within one host: every sharded-NTT
+  transform is an all_to_all over the axis and every key switch
+  all-gathers lifted digits — latency-bound collectives that belong on
+  ICI.  :func:`make_process_mesh` constructs meshes that enforce this by
+  ordering devices process-major and validating that each sp group falls
+  inside a single process.
+
+A pod slice therefore runs the existing workloads unmodified: build the
+mesh with ``make_process_mesh`` instead of ``make_mesh`` and the GSPMD
+partitioner routes sp collectives over ICI and dp gathers over DCN by
+construction.  (Real multi-host execution is not possible in this
+single-chip environment; tests mock the process topology and the driver
+dryrun prints the resulting contract.)
 """
 
 from __future__ import annotations
@@ -53,6 +74,58 @@ def make_mesh(
         else:
             shape = (n,) + (1,) * (len(axes) - 1)
     arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def process_grouped_order(
+    process_indices: Sequence[int], group: int
+) -> np.ndarray:
+    """Device ordering for a process-aware (dp, sp) mesh.
+
+    Given each device's ``process_index`` and the sp axis size ``group``,
+    return the permutation that orders devices process-major, and check
+    that every contiguous ``group``-sized block then lies inside ONE
+    process — the invariant that keeps sp collectives (all_to_all per
+    NTT, all-gather per key switch) on ICI while only the dp axis
+    crosses hosts over DCN.  Raises if the topology cannot satisfy it
+    (group larger than a host, or not dividing the per-host count).
+    """
+    procs = np.asarray(process_indices)
+    n = procs.size
+    if n % group:
+        raise ValueError(f"{n} devices do not divide into sp groups of {group}")
+    order = np.argsort(procs, kind="stable")
+    grouped = procs[order].reshape(n // group, group)
+    if not (grouped == grouped[:, :1]).all():
+        counts = np.bincount(procs)
+        raise ValueError(
+            "sp axis would cross a host boundary (DCN): sp group size "
+            f"{group} does not pack into per-process device counts "
+            f"{counts.tolist()} — shrink sp or use a host-local mesh"
+        )
+    return order
+
+
+def make_process_mesh(
+    sp: int,
+    axes: Tuple[str, str] = ("dp", "sp"),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Process-aware (dp, sp) mesh: dp spans hosts (DCN), sp stays within
+    a host (ICI) — the multi-host mapping of the framework's two scale-out
+    axes (module docstring: axis -> fabric contract).
+
+    ``sp`` is the sp-axis size; every other factor of the device count
+    goes to dp.  Devices are ordered process-major so each sp group is
+    host-local; on a single-process backend (tests, the virtual CPU mesh)
+    the construction degenerates to `make_mesh` but the validation logic
+    is identical to what a pod slice would run.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    order = process_grouped_order(
+        [getattr(d, "process_index", 0) for d in devs], sp
+    )
+    arr = np.array([devs[i] for i in order]).reshape(len(devs) // sp, sp)
     return Mesh(arr, axes)
 
 

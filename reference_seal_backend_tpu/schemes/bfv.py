@@ -86,13 +86,17 @@ class BfvEncryptor:
         self, ctx: BfvContext, keys: KeySet, seed: Optional[int] = None
     ):
         """``seed`` makes the encryption randomness stream reproducible
-        (None draws fresh OS entropy — the production default)."""
+        (None draws fresh OS entropy — the production default).  Either
+        way the draws come from the ChaCha20 CSPRNG (schemes/csprng.py),
+        like SEAL's Blake2 stream behind Encryptor."""
+        import os
+
+        from reference_seal_backend_tpu.schemes.csprng import ChaChaRng
+
         self.ctx = ctx
         self.keys = keys
-        self._rng = np.random.default_rng(
-            np.random.SeedSequence([0xBF5, seed])
-            if seed is not None
-            else None
+        self._rng = ChaChaRng(
+            seed if seed is not None else os.urandom(32), stream=0xBF5
         )
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:

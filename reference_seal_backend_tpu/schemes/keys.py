@@ -25,10 +25,14 @@ Shoup companions (floor(w·2**32/p)): the key-switch inner product against
 of the Montgomery product it replaces.
 
 Sampling: secret and encryption randomness are uniform-ternary, errors are
-centered-binomial-like rounded Gaussians (σ=3.2, ±6σ clamp), sampled host
-side with numpy Generators (keygen is one-time per context); the public
-``a`` polynomials are sampled directly uniform per limb in NTT domain
-(a bijection of uniform over R_q).
+rounded Gaussians (σ=3.2, ±6σ clamp), sampled host side from a seeded
+**ChaCha20 CSPRNG** (schemes/csprng.py — rejection-sampled, unbiased;
+the role-parity counterpart of SEAL's Blake2 stream behind
+createKeysAndEncryptors, /root/reference src/engine/seal_context.cpp:46-70);
+the public ``a`` polynomials are sampled directly uniform per limb in NTT
+domain (a bijection of uniform over R_q).  Reproducibility is unchanged:
+the same ``seed`` yields the same KeySet; numpy Generators remain only
+for benchmark input generation (harness-side data).
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ import jax.numpy as jnp
 
 from reference_seal_backend_tpu.ops import modops
 from reference_seal_backend_tpu.schemes import core
+from reference_seal_backend_tpu.schemes.csprng import ChaChaRng
 from reference_seal_backend_tpu.schemes.params import Context
 
 SIGMA = 3.2
@@ -109,11 +114,14 @@ class KeySet:
     galois_p5: Dict[int, SwitchKey]  # hoisted rotate_sum keys, by element
 
 
-def sample_ternary(rng: np.random.Generator, n: int) -> np.ndarray:
+def sample_ternary(rng, n: int) -> np.ndarray:
+    """Uniform ternary secret in {-1, 0, 1} (``rng`` is a ChaChaRng; the
+    numpy.Generator signature is kept so host oracles can reuse it)."""
     return rng.integers(-1, 2, size=n).astype(np.int64)
 
 
-def sample_error(rng: np.random.Generator, n: int) -> np.ndarray:
+def sample_error(rng, n: int) -> np.ndarray:
+    """Rounded Gaussian error, σ=3.2, clamped ±6σ (SEAL's clipped normal)."""
     e = np.rint(rng.normal(0.0, SIGMA, size=n)).astype(np.int64)
     return np.clip(e, -19, 19)
 
@@ -208,7 +216,7 @@ def keygen(
     galois_elts: Sequence[int] = (),
     need_relin: bool = True,
 ) -> KeySet:
-    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0FFEE]))
+    rng = ChaChaRng(seed, stream=0xC0FFEE)
     L = ctx.L
     nf = L + ctx.n_special
     n_dig = ctx.dig_count(L)

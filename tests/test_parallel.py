@@ -122,3 +122,67 @@ def test_limb_sharded_keyswitch_compiles(setup):
     for i in range(ctx.slots):
         want[i] = sq[(i + np.arange(8)) % ctx.slots].sum()
     np.testing.assert_allclose(got[:64], want[:64], rtol=1e-5, atol=5e-4)
+
+
+# -- process-aware (multi-host) mesh construction --------------------------- #
+
+
+def test_process_grouped_order_single_host():
+    # one process: identity-compatible ordering, any dividing group size
+    order = mesh_mod.process_grouped_order([0] * 8, 4)
+    assert sorted(order.tolist()) == list(range(8))
+
+
+def test_process_grouped_order_multi_host():
+    """Mocked 4-host × 4-device pod slice: sp groups must pack host-local
+    (ICI); the dp axis alone crosses hosts (DCN).  SURVEY.md §2.4."""
+    procs = [0, 0, 1, 1, 2, 2, 3, 3, 0, 0, 1, 1, 2, 2, 3, 3]
+    order = mesh_mod.process_grouped_order(procs, 4)
+    grouped = np.asarray(procs)[order].reshape(4, 4)
+    # every sp group lies within exactly one process
+    assert (grouped == grouped[:, :1]).all()
+    # all processes appear (dp spans hosts)
+    assert sorted(np.unique(grouped).tolist()) == [0, 1, 2, 3]
+
+
+def test_process_grouped_order_rejects_cross_host_sp():
+    # 2 hosts x 2 devices, sp=4 would have to span both hosts -> refuse
+    with pytest.raises(ValueError, match="DCN"):
+        mesh_mod.process_grouped_order([0, 0, 1, 1], 4)
+    # non-dividing group size
+    with pytest.raises(ValueError):
+        mesh_mod.process_grouped_order([0] * 6, 4)
+
+
+def test_process_grouped_order_uneven_hosts_rejected():
+    # per-host counts 3 and 1: groups of 2 cannot pack host-local
+    with pytest.raises(ValueError, match="DCN"):
+        mesh_mod.process_grouped_order([0, 0, 0, 1], 2)
+
+
+def test_make_process_mesh_runs_sharded_pipeline(setup):
+    """make_process_mesh on the real (single-process) backend: dp x sp
+    mesh executes the multiply pipeline bit-exact (the pod-slice
+    construction degenerates to make_mesh here, same validation path)."""
+    from dataclasses import replace
+    import jax.numpy as jnp
+
+    from reference_seal_backend_tpu.parallel import sp_eval
+
+    ctx, ks, enc, _, _, ev = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_mod.make_process_mesh(sp=4)
+    assert dict(mesh.shape) == {"dp": 2, "sp": 4}
+    er = ckks.CkksEncryptor(ctx, ks, seed=3)
+    rng = np.random.default_rng(3)
+    cts = [
+        er.encrypt_pt(enc.encode(rng.uniform(-1, 1, ctx.slots)))
+        for _ in range(4)
+    ]
+    a = replace(cts[0], data=jnp.stack([c.data for c in cts[:2]]))
+    b = replace(cts[0], data=jnp.stack([c.data for c in cts[2:]]))
+    spe = sp_eval.SpEvaluator(ctx, ks, mesh, batch_axes=("dp",))
+    want = ev.multiply(a, b)
+    got = spe.unshard(jax.jit(spe.multiply)(spe.shard(a), spe.shard(b)))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
