@@ -24,6 +24,20 @@ Role-equivalent to the SEAL BFV ``Evaluator::multiply`` the reference
 calls in src/benchmarks/bfv/seal_bfv_element_wise_benchmark.cpp:289-348 —
 rebuilt from the BEHZ construction with TPU-native [limb, N] layouts and
 limb-axis contractions, not ported from SEAL.
+
+Evaluated and REJECTED (VERDICT r3 item 8 / ROADMAP item 1): skipping the
+m_tilde correction for the second operand.  Noise bound: a plain FBC for
+operand b yields the Bsk representative b' = b + α·q with coefficients
+α ∈ [0, k); the tensor product then carries q·α·a, and after the ×t/q
+floor and the exact S-K conversion the decryption-relevant additive term
+is t·α·(Δ m_a + e_a) ≡ −r_t·(α·m_a) + t·(α·e_a) (mod q), r_t = q mod t.
+Ring-product norms give extra noise ≤ N·(k−1)·(r_t·t/2 + t·‖e_a‖∞) —
+the partner operand's noise contribution scaled by ≈ k, i.e. ~log2(k)
+≈ 2 bits of budget per multiply at the registered k=4 chain.  The ops it
+would save (the m_tilde-specific xt/r/flag + two Shoup sweeps over
+[2, kb, N] for one operand) total ≈ 1.6% of the multiply's ~144M VPU ops
+(76% of which are the 4 stacked NTT sweeps).  2 bits/multiply of the
+19-bit post-registered-chain budget for a 1.6% op cut loses.
 """
 
 from __future__ import annotations
