@@ -63,6 +63,20 @@ class LogRegBenchmark(HEBenchmark):
         self._stage_dots = self.jit_with_keys(self._dots_impl)
         self._stage_collapse = self.jit_with_keys(self._collapse_impl)
         self._stage_sigmoid = self.jit_with_keys(self._sigmoid_impl)
+        # Offline batches lift key-switch digits for every sample at once
+        # inside the dots stage — [batch, 2, n_dig, l+ns, N] uint32 HLO
+        # temporaries.  At batch=100, N=16384 that is >1 GB per buffer and
+        # the stage OOMs a 16 GB v5e HBM (measured: 19.24G program).  The
+        # dots are embarrassingly parallel across samples, so operate()
+        # runs the stage in equal chunks sized to ~512 MB of digit
+        # temporaries (one extra graph shape at most), then concatenates
+        # for the collapse stage.  Override with the ``dots_chunk`` param
+        # (0 = never chunk).
+        ctx = self.ctx
+        nd = ctx.dig_count(ctx.L)
+        digit_row_bytes = 2 * nd * (ctx.L + ctx.n_special) * ctx.n * 4
+        auto = max(1, (512 << 20) // digit_row_bytes)
+        self.dots_chunk = int(p.get("dots_chunk", auto))
 
     def rotation_steps(self) -> List[int]:
         steps = composite.rotations_for_accumulate(self.n, self.ctx.slots)
@@ -114,10 +128,34 @@ class LogRegBenchmark(HEBenchmark):
         return self._sigmoid_impl(self._collapse_impl(self._dots_impl(w, x)), b)
 
     def operate(self, loaded: Handle) -> Handle:
+        import jax.numpy as jnp
+
         w, b, x = loaded.payload
-        out = self._stage_sigmoid(
-            self._stage_collapse(self._stage_dots(w, x)), b
-        )
+        batch = x.data.shape[0]
+        if self.dots_chunk and batch > self.dots_chunk:
+            n_chunks = -(-batch // self.dots_chunk)
+            chunk = -(-batch // n_chunks)  # equalized chunk size
+            # pad to n_chunks*chunk so every chunk shares ONE graph shape
+            # (zero rows are trivial encryptions of 0, sliced away below)
+            pad = n_chunks * chunk - batch
+            xd = x.data
+            if pad:
+                xd = jnp.concatenate(
+                    [xd, jnp.zeros_like(xd[:pad])], axis=0
+                )
+            parts = [
+                self._stage_dots(w, replace(x, data=xd[i : i + chunk]))
+                for i in range(0, n_chunks * chunk, chunk)
+            ]
+            dots = replace(
+                parts[0],
+                data=jnp.concatenate([pt.data for pt in parts], axis=0)[
+                    :batch
+                ],
+            )
+        else:
+            dots = self._stage_dots(w, x)
+        out = self._stage_sigmoid(self._stage_collapse(dots), b)
         return Handle(tag="logreg_result", payload=out)
 
     def decrypt(self, stored: Handle) -> Handle:

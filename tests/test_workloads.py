@@ -219,3 +219,44 @@ def test_logreg_offline_batch(engine):
     (out,) = run_pipeline(bench, [w, b, x])
     want = _sigmoid_d3(x @ w + b)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=5e-5)
+
+
+def test_logreg_offline_dots_chunking_bit_identical():
+    """Offline dots-stage chunking (models/logreg.py operate): the
+    batch-100 digit-lift OOMs a 16 GB v5e at N=16384, so big batches run
+    the dots stage in equal padded chunks — decode must be bit-identical
+    to the unchunked pipeline (chunk boundary + zero-pad rows exercised:
+    batch 10, chunk 3 -> 4 chunks of 3 with 2 pad rows)."""
+    from reference_seal_backend_tpu.engine.descriptor import (
+        Category,
+        Workload,
+    )
+    from reference_seal_backend_tpu.engine.registry import Engine
+
+    engine = Engine()
+    desc = next(
+        d
+        for d in engine.descriptors
+        if d.workload is Workload.LOGREG_POLY_D3
+        and d.category is Category.OFFLINE
+    )
+    params = {
+        "poly_modulus_degree": 2048,
+        "sec_level": 0,
+        "n": 16,
+        "batch_size": 10,
+    }
+    rng = np.random.default_rng(7)
+    w = rng.uniform(-1, 1, 16)
+    b = float(rng.uniform(-1, 1))
+    x = rng.uniform(-1, 1, (10, 16))
+
+    def run(bench):
+        h = bench.load(bench.encrypt(bench.encode([w, b, x])))
+        return bench.decode(bench.decrypt(bench.store(bench.operate(h))))
+
+    (want,) = run(engine.create_benchmark(desc, dict(params, dots_chunk=0)))
+    (got,) = run(engine.create_benchmark(desc, dict(params, dots_chunk=3)))
+    np.testing.assert_array_equal(got, want)
+    z = x @ w + b
+    assert np.max(np.abs(got - (0.5 + 0.15012 * z - 0.0015930078125 * z**3))) < 5e-4
