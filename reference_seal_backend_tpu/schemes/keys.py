@@ -144,13 +144,43 @@ def _uniform_ntt(
     return jnp.asarray(np.stack(cols))
 
 
+def _shoup_floor(w: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """floor(w·2**32 / p) for w in [0, p), p < 2**31 — exact 32-step
+    restoring division (each step doubles the remainder and emits one
+    quotient bit; 2r < 2**32 because p < 2**31, so everything stays
+    uint32).  Computed ON DEVICE: the switch keys never round-trip to
+    the host — over the tunneled chip a 2×110 MB download + re-upload
+    per keygen was the dominant (and stall-prone) cost of every
+    key-switch benchmark step."""
+
+    def body(_, qr):
+        q, r = qr
+        r2 = r << jnp.uint32(1)
+        ge = r2 >= p
+        return (
+            (q << jnp.uint32(1)) | ge.astype(jnp.uint32),
+            r2 - jnp.where(ge, p, jnp.uint32(0)).astype(jnp.uint32),
+        )
+
+    q, _ = jax.lax.fori_loop(0, 32, body, (jnp.zeros_like(w), w))
+    return q
+
+
 @functools.lru_cache(maxsize=None)
-def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
+def _keygen_fn(
+    ctx: Context,
+    elts: Tuple[int, ...],
+    need_relin: bool,
+    p5_pos: Tuple[int, ...] = (),
+):
     """One jitted device function for the whole keygen (keys are rebuilt
     per benchmark instance like the reference's
     ``createKeysAndEncryptors``, src/engine/seal_context.cpp:46-70; run
     eagerly this is hundreds of tiny dispatches — prohibitive over a
-    remote-chip tunnel)."""
+    remote-chip tunnel).  Everything large stays on device: Shoup
+    companions via :func:`_shoup_floor` and the hoisted-rotate_sum
+    galois_p5 relayouts as device gathers (``p5_idx`` rows, one per
+    entry of ``p5_pos`` = the switch-key slots that get a p5 variant)."""
     L = ctx.L
     nf = L + ctx.n_special
     p_full, pni_full = ctx.p, ctx.p_neg_inv
@@ -166,7 +196,7 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
     n_sk = (1 if need_relin else 0) + len(elts)
     n_dig = ctx.dig_count(L)
 
-    def impl(s_res, a_pk, e_pk_res, a_sk, e_sk_res):
+    def impl(s_res, a_pk, e_pk_res, a_sk, e_sk_res, p5_idx):
         s_ntt = ctx.plan.fwd(s_res, lo=0)  # [nf, N]
         p_d, pni_d = p_full[:L], pni_full[:L]
         e_pk = ctx.plan.fwd(e_pk_res, lo=0)
@@ -177,7 +207,7 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
             p_d,
         )
         if n_sk == 0:
-            return s_ntt, b_pk, None, None
+            return s_ntt, b_pk, None
         # switch-key sources: s² for relin, σ_g(s) per Galois element
         srcs = []
         if need_relin:
@@ -205,7 +235,22 @@ def _keygen_fn(ctx: Context, elts: Tuple[int, ...], need_relin: bool):
         b = b.at[:, dig, row].set(
             modops.mod_add(b[:, dig, row], terms, p_d)
         )
-        return s_ntt, b_pk, b, a_sk
+        bs = _shoup_floor(b, p_full)
+        as_ = _shoup_floor(a_sk, p_full)
+        # hoisted rotate_sum (galois_p5) variants: φ_{g^{-1}} then the
+        # p5 re-order, composed into one slot gather per key (indices
+        # precomputed host-side, gathered here so the key arrays never
+        # leave the device)
+        p5 = None
+        if p5_pos:
+            outs = []
+            for m, pos in enumerate(p5_pos):
+                quad_m = jnp.stack(
+                    [b[pos], a_sk[pos], bs[pos], as_[pos]]
+                )  # [4, n_dig, nf, N]
+                outs.append(jnp.take(quad_m, p5_idx[m], axis=-1))
+            p5 = jnp.stack(outs)  # [n_p5, 4, n_dig, nf, N]
+        return s_ntt, b_pk, (b, a_sk, bs, as_, p5)
 
     return jax.jit(impl)
 
@@ -262,52 +307,58 @@ def keygen(
         a_sk = np.zeros((0, n_dig, nf, ctx.n), dtype=np.uint32)
         e_sk_res = np.zeros((0, n_dig, nf, ctx.n), dtype=np.uint32)
 
-    fn = _keygen_fn(ctx, tuple(elts), need_relin)
-    s_ntt, b_pk, b_sk, a_sk_out = fn(
+    # hoisted-rotate_sum (galois_p5) gather indices, host-precomputed:
+    # one [N] row per rotation-group element, applied on device so the
+    # key arrays never round-trip to the host (the old host np.take path
+    # downloaded + re-uploaded every switch key — hundreds of MB over
+    # the chip tunnel, with stall-prone transfers)
+    off = 1 if need_relin else 0
+    p5_pos = []
+    p5_rows = []
+    P_np = ctx.p5_order()[0] if elts else None
+    for j, g in enumerate(elts):
+        if g == two_n - 1:
+            continue  # conjugation is not in the rotation group <5>
+        g_inv = pow(g, -1, two_n)
+        p5_pos.append(off + j)
+        p5_rows.append(np.asarray(ctx.plan.galois_perm(g_inv))[P_np])
+    p5_idx = (
+        np.stack(p5_rows).astype(np.int32)
+        if p5_rows
+        else np.zeros((0, ctx.n), dtype=np.int32)
+    )
+
+    fn = _keygen_fn(ctx, tuple(elts), need_relin, tuple(p5_pos))
+    s_ntt, b_pk, sk_out = fn(
         jnp.asarray(s_res),
         jnp.asarray(a_pk),
         jnp.asarray(e_pk_res),
         jnp.asarray(a_sk),
         jnp.asarray(e_sk_res),
+        jnp.asarray(p5_idx),
     )
 
-    # Host-side Shoup companions for the constant key polys (one-time).
-    if n_sk:
-        p64 = np.array(ctx.primes, dtype=np.uint64)[:, None]
-        b_np = np.asarray(b_sk)
-        a_np = np.asarray(a_sk_out)
-        bs_np = ((b_np.astype(np.uint64) << 32) // p64).astype(np.uint32)
-        as_np = ((a_np.astype(np.uint64) << 32) // p64).astype(np.uint32)
-        bs = jnp.asarray(bs_np)
-        as_ = jnp.asarray(as_np)
-
     relin = None
-    k = 0
-    if need_relin:
-        relin = SwitchKey(b=b_sk[0], a=a_sk_out[0], bs=bs[0], as_=as_[0])
-        k = 1
     galois: Dict[int, SwitchKey] = {}
     galois_p5: Dict[int, SwitchKey] = {}
-    P_np = ctx.p5_order()[0] if elts else None
-    for g in elts:
-        key = SwitchKey(b=b_sk[k], a=a_sk_out[k], bs=bs[k], as_=as_[k])
-        galois[g] = key
-        k += 1
-        if g == two_n - 1:
-            continue  # conjugation is not in the rotation group <5>
-        # hoisted rotate_sum variant: φ_{g^{-1}} then the p5 re-order,
-        # composed into one host-side gather (b_np/a_np are already host
-        # copies from the Shoup computation above).
-        g_inv = pow(g, -1, two_n)
-        idx = np.asarray(ctx.plan.galois_perm(g_inv))[P_np]
-        j = k - 1
-        take = lambda arr: jnp.asarray(np.take(arr, idx, axis=-1))
-        galois_p5[g] = SwitchKey(
-            b=take(b_np[j]),
-            a=take(a_np[j]),
-            bs=take(bs_np[j]),
-            as_=take(as_np[j]),
-        )
+    if n_sk:
+        b_sk, a_sk_out, bs, as_, p5 = sk_out
+        k = 0
+        if need_relin:
+            relin = SwitchKey(
+                b=b_sk[0], a=a_sk_out[0], bs=bs[0], as_=as_[0]
+            )
+            k = 1
+        for j, g in enumerate(elts):
+            galois[g] = SwitchKey(
+                b=b_sk[k + j], a=a_sk_out[k + j],
+                bs=bs[k + j], as_=as_[k + j],
+            )
+        for m, pos in enumerate(p5_pos):
+            g = elts[pos - off]
+            galois_p5[g] = SwitchKey(
+                b=p5[m, 0], a=p5[m, 1], bs=p5[m, 2], as_=p5[m, 3]
+            )
 
     return KeySet(
         secret_ntt=s_ntt,
