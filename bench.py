@@ -73,9 +73,15 @@ EPS = 5e-5      # the reference's CKKS decode epsilon
 
 BUDGET_S = float(os.environ.get("RSB_TPU_BENCH_BUDGET_S", "420"))
 RESERVE_S = 10.0  # tail reserve for emits/teardown
-# Measured warm-persistent-cache headline duration (keygen + encrypt +
-# cache-hit compile + 2 s measurement), used to calibrate the cold factor.
-WARM_HEADLINE_S = 35.0
+# Measured warm-persistent-cache headline duration (context + keygen +
+# encrypt + cache-hit executable load + 2 s measurement; best observed
+# 145.7 s over four chip runs on 2026-08-20/21).  Setup, not
+# measurement, is the cost: the tunneled chip's per-step wall time is
+# dominated by fixed overheads and minute-scale RANDOM I/O stalls
+# (BASELINE.md §"Bench wall-clock anatomy") — the cold factor calibrated
+# from the headline scales every later estimate so a stalled or
+# cold-cache run skips steps instead of overrunning the driver.
+WARM_HEADLINE_S = 145.0
 _T0 = time.monotonic()
 
 RESULT: dict = {
@@ -436,29 +442,31 @@ def main() -> None:
     _emit()  # headline recorded — everything past this point is bonus
 
     ks = _KsState()
-    # (metric name, fn, estimated WARM cost in seconds — measured on the
-    # chip with a hot persistent cache, see timings in BENCH_r04; ordered
-    # cheapest-first so a squeezed budget keeps the most metrics).  The
-    # budget check scales each estimate by the calibrated cold factor.
+    # (metric name, fn, estimated WARM cost in seconds — best-observed
+    # per-step walls from the 2026-08-21 chip runs with a hot persistent
+    # cache and device-resident keygen; ordered cheapest-first so a
+    # squeezed budget keeps the most metrics).  The budget check scales
+    # each estimate by the calibrated cold factor; `timings` in the
+    # emitted record carries what each step actually took.
     steps = [
-        ("ckks_dot_n100", lambda: dot_latency(extras), 20.0),
-        ("bfv_behz_mult", lambda: bfv_suite(extras), 25.0),
+        ("bfv_behz_mult", lambda: bfv_suite(extras), 60.0),
+        ("ckks_rotate", lambda: ks_rotate(ks, extras), 60.0),
         ("ckks_mult_relin_rescale",
-         lambda: ks_mult_relin_rescale(ks, extras), 30.0),
-        ("ckks_rotate", lambda: ks_rotate(ks, extras), 12.0),
-        ("ckks_rotate_sum8", lambda: ks_rotate_sum(ks, extras), 15.0),
+         lambda: ks_mult_relin_rescale(ks, extras), 40.0),
+        ("ckks_rotate_sum8", lambda: ks_rotate_sum(ks, extras), 80.0),
         ("ckks_eltwise_mult_offline",
-         lambda: eltwise_mult_offline(extras), 25.0),
+         lambda: eltwise_mult_offline(extras), 90.0),
         (
             "ckks_logreg_n16384",
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
-            40.0,
+            130.0,
         ),
-        ("ckks_logreg_offline_b100", lambda: logreg_offline(extras), 35.0),
+        ("ckks_dot_n100", lambda: dot_latency(extras), 150.0),
+        ("ckks_logreg_offline_b100", lambda: logreg_offline(extras), 160.0),
         (
             "ckks_logreg_n32768",
             lambda: logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms"),
-            70.0,
+            300.0,
         ),
     ]
     for name, fn, warm_est in steps:
