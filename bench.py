@@ -449,6 +449,7 @@ def main() -> None:
     # each estimate by the calibrated cold factor; `timings` in the
     # emitted record carries what each step actually took.
     steps = [
+        ("ckks_dot_n100", lambda: dot_latency(extras), 40.0),
         ("bfv_behz_mult", lambda: bfv_suite(extras), 60.0),
         ("ckks_rotate", lambda: ks_rotate(ks, extras), 60.0),
         ("ckks_mult_relin_rescale",
@@ -461,7 +462,6 @@ def main() -> None:
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
             130.0,
         ),
-        ("ckks_dot_n100", lambda: dot_latency(extras), 150.0),
         ("ckks_logreg_offline_b100", lambda: logreg_offline(extras), 160.0),
         (
             "ckks_logreg_n32768",
