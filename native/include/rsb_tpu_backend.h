@@ -18,7 +18,7 @@
  * /root/reference src/engine/seal_engine.cpp:41-54). */
 #define RSBTPU_API_VERSION_MAJOR 1
 #define RSBTPU_API_VERSION_MINOR 0
-#define RSBTPU_API_VERSION_REVISION 0
+#define RSBTPU_API_VERSION_REVISION 1
 
 #ifdef __cplusplus
 extern "C" {
@@ -36,6 +36,12 @@ int rsbtpu_api_version_check(int major, int minor, int revision);
 
 /* Engine lifecycle. Returns engine id > 0, or < 0 on error. */
 int64_t rsbtpu_engine_create(void);
+/* createEngine(p_buffer, size) parity: the API-Bridge contract allows
+ * opaque engine init data (the reference accepts and ignores it,
+ * /root/reference src/engine/seal_engine.cpp:38-40).  Accepted, recorded,
+ * not interpreted; NULL/0 is equivalent to rsbtpu_engine_create(). */
+int64_t rsbtpu_engine_create_with_data(const uint8_t *p_buffer,
+                                       uint64_t size);
 void rsbtpu_engine_destroy(int64_t engine);
 
 /* Benchmark registry: count and names of registered descriptors. */

@@ -166,6 +166,13 @@ int64_t rsbtpu_engine_create(void) {
   return call_i64("engine_create", nullptr);
 }
 
+int64_t rsbtpu_engine_create_with_data(const uint8_t *p_buffer,
+                                       uint64_t size) {
+  return call_i64("engine_create", "(y#)",
+                  p_buffer ? reinterpret_cast<const char *>(p_buffer) : "",
+                  static_cast<Py_ssize_t>(p_buffer ? size : 0));
+}
+
 void rsbtpu_engine_destroy(int64_t engine) {
   if (rsbtpu_initialize() != 0) return;
   GilGuard gil;

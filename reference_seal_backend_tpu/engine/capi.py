@@ -47,15 +47,25 @@ def _fail(exc: BaseException) -> int:
     return -1
 
 
-def engine_create() -> int:
+def engine_create(init_data: bytes = b"") -> int:
+    """``init_data`` mirrors the API Bridge's ``createEngine(p_buffer,
+    size)`` opaque init bytes — accepted and recorded but not interpreted,
+    exactly like the reference (/root/reference
+    src/engine/seal_engine.cpp:38-40 ignores them)."""
     try:
+        if not isinstance(init_data, (bytes, bytearray, memoryview)):
+            raise TypeError(
+                f"engine init data must be bytes, got {type(init_data).__name__}"
+            )
         from reference_seal_backend_tpu.utils import jaxcfg
 
         jaxcfg.setup()
         from reference_seal_backend_tpu.engine.registry import Engine
 
         eid = next(_ids)
-        _engines[eid] = Engine()
+        engine = Engine()
+        engine.init_data = bytes(init_data)
+        _engines[eid] = engine
         return eid
     except BaseException as e:  # noqa: BLE001 — must not cross the ABI
         return _fail(e)

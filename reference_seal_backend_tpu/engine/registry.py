@@ -45,6 +45,10 @@ class Engine:
         self._by_name: Dict[str, BenchmarkDescriptor] = {
             d.name: d for d in self.descriptors
         }
+        # createEngine(p_buffer, size) parity: opaque init bytes recorded
+        # but never interpreted (the reference ignores them,
+        # /root/reference src/engine/seal_engine.cpp:38-40)
+        self.init_data: bytes = b""
 
     def find(self, name: str) -> BenchmarkDescriptor:
         return self._by_name[name]

@@ -31,6 +31,9 @@ from reference_seal_backend_tpu.models.base import Handle, HEBenchmark
 
 
 class DotProductBenchmark(HEBenchmark):
+    tag_family = "dot"
+    n_operands = 2
+
     def __init__(self, descriptor: BenchmarkDescriptor, params=None):
         self.n = (params or {}).get("n", descriptor.default_params["n"])
         super().__init__(descriptor, params)
@@ -63,6 +66,7 @@ class DotProductBenchmark(HEBenchmark):
         return Handle(tag="dot_pt", payload=tuple(pts))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="dot_ct", payload=cts)
 
@@ -75,6 +79,7 @@ class DotProductBenchmark(HEBenchmark):
         return composite.accumulate(self.ev, prod, self.n)
 
     def operate(self, loaded: Handle) -> Handle:
+        self.check_handle(loaded, "ct")
         a, b = loaded.payload
         out = self._op_jit(a, b)
         return Handle(
@@ -84,11 +89,13 @@ class DotProductBenchmark(HEBenchmark):
         )
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         shape = stored.meta["batch_shape"]
         vals = list(self.decrypt_each(stored.payload, shape))
         return Handle(tag="dot_clear", payload=vals, meta=stored.meta)
 
     def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        self.check_handle(decrypted, "clear")
         out = []
         for v in decrypted.payload:
             v = v[:1]  # result lives in slot 0

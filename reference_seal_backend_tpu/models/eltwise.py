@@ -38,6 +38,9 @@ from reference_seal_backend_tpu.models.base import Handle, HEBenchmark
 class ElementWiseBenchmark(HEBenchmark):
     """EltwiseAdd / EltwiseMult, both schemes, both categories."""
 
+    tag_family = "eltwise"
+    n_operands = 2
+
     def __init__(self, descriptor: BenchmarkDescriptor, params=None):
         super().__init__(descriptor, params)
         self.n = self.params["n"]
@@ -56,6 +59,7 @@ class ElementWiseBenchmark(HEBenchmark):
         return Handle(tag="eltwise_pt", payload=tuple(pts))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="eltwise_ct", payload=cts)
 
@@ -67,6 +71,7 @@ class ElementWiseBenchmark(HEBenchmark):
         return self.ev.multiply(a2, b2)
 
     def operate(self, loaded: Handle) -> Handle:
+        self.check_handle(loaded, "ct")
         a, b = loaded.payload
         out = self._op_jit(a, b)
         return Handle(
@@ -76,11 +81,13 @@ class ElementWiseBenchmark(HEBenchmark):
         )
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         shape = stored.meta["batch_shape"]
         vals = list(self.decrypt_each(stored.payload, shape))
         return Handle(tag="eltwise_clear", payload=vals, meta=stored.meta)
 
     def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        self.check_handle(decrypted, "clear")
         out = []
         for v in decrypted.payload:
             v = v[: self.n]

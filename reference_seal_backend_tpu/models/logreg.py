@@ -39,6 +39,9 @@ DEFAULT_BATCH = 100
 
 
 class LogRegBenchmark(HEBenchmark):
+    tag_family = "logreg"
+    n_operands = 3  # (W, b, X) — the reference's EncodedOpParams triple
+
     def __init__(self, descriptor: BenchmarkDescriptor, params=None):
         p = dict(descriptor.default_params)
         if params:
@@ -97,6 +100,7 @@ class LogRegBenchmark(HEBenchmark):
         return Handle(tag="logreg_pt", payload=(pt_w, pt_b, pt_x))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="logreg_ct", payload=cts)
 
@@ -130,6 +134,7 @@ class LogRegBenchmark(HEBenchmark):
     def operate(self, loaded: Handle) -> Handle:
         import jax.numpy as jnp
 
+        self.check_handle(loaded, "ct")
         w, b, x = loaded.payload
         batch = x.data.shape[0]
         if self.dots_chunk and batch > self.dots_chunk:
@@ -159,8 +164,10 @@ class LogRegBenchmark(HEBenchmark):
         return Handle(tag="logreg_result", payload=out)
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         vals = next(self.decrypt_each(stored.payload, ()))
         return Handle(tag="logreg_clear", payload=vals)
 
     def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        self.check_handle(decrypted, "clear")
         return [self.clamp_ckks(decrypted.payload[: self.batch])]

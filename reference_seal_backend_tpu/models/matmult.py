@@ -68,11 +68,13 @@ class _MatMultBase(HEBenchmark):
         return self.descriptor.scheme is Scheme.CKKS
 
     def operate(self, loaded: Handle) -> Handle:
+        self.check_handle(loaded, "ct")
         m0, m1 = loaded.payload
         out = self._op_jit(m0, m1)
-        return Handle(tag="matmult_result", payload=out, meta=loaded.meta)
+        return self.handle("result", out, meta=loaded.meta)
 
     def decode(self, decrypted: Handle) -> List[np.ndarray]:
+        self.check_handle(decrypted, "clear")
         out = np.asarray(decrypted.payload)
         if self.is_ckks:
             out = self.clamp_ckks(out)
@@ -81,6 +83,8 @@ class _MatMultBase(HEBenchmark):
 
 class MatMultValBenchmark(_MatMultBase):
     """One matrix row per ciphertext; M1 transposed at encode."""
+
+    tag_family = "matmultval"
 
     def __init__(self, descriptor, params=None):
         super().__init__(descriptor, params)
@@ -103,6 +107,7 @@ class MatMultValBenchmark(_MatMultBase):
         return Handle(tag="matmultval_pt", payload=(pt0, pt1))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="matmultval_ct", payload=cts)
 
@@ -115,16 +120,19 @@ class MatMultValBenchmark(_MatMultBase):
         return composite.accumulate(self.ev, prod, self.c0)
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         vals = [
             v[0]
             for v in self.decrypt_each(stored.payload, (self.r0, self.c1))
         ]
         mat = np.asarray(vals).reshape(self.r0, self.c1)
-        return Handle(tag="matmult_clear", payload=mat)
+        return self.handle("clear", mat)
 
 
 class MatMultCipherBatchAxisBenchmark(_MatMultBase):
     """One scalar element per ciphertext (column-major), no rotations."""
+
+    tag_family = "matmultcba"
 
     def encode(self, inputs: Sequence[np.ndarray]) -> Handle:
         m0 = np.asarray(inputs[0]).reshape(self.r0, self.c0)
@@ -135,6 +143,7 @@ class MatMultCipherBatchAxisBenchmark(_MatMultBase):
         return Handle(tag="matmultcba_pt", payload=(pt0, pt1))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="matmultcba_ct", payload=cts)
 
@@ -160,16 +169,19 @@ class MatMultCipherBatchAxisBenchmark(_MatMultBase):
         return out
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         vals = [
             v[0]
             for v in self.decrypt_each(stored.payload, (self.r0, self.c1))
         ]
         mat = np.asarray(vals).reshape(self.r0, self.c1)
-        return Handle(tag="matmult_clear", payload=mat)
+        return self.handle("clear", mat)
 
 
 class MatMultRowBenchmark(_MatMultBase):
     """Spacer row packing; M1 in one ciphertext; rotation accumulation."""
+
+    tag_family = "matmultrow"
 
     def __init__(self, descriptor, params=None):
         p = dict(descriptor.default_params)
@@ -233,6 +245,7 @@ class MatMultRowBenchmark(_MatMultBase):
         return Handle(tag="matmultrow_pt", payload=(pt0, pt1))
 
     def encrypt(self, encoded: Handle) -> Handle:
+        self.check_handle(encoded, "pt")
         cts = tuple(self.encrypt_batch(pt) for pt in encoded.payload)
         return Handle(tag="matmultrow_ct", payload=cts)
 
@@ -243,6 +256,7 @@ class MatMultRowBenchmark(_MatMultBase):
         return self.ev.rotate_sum(out, [0] + self.rotation_steps())
 
     def decrypt(self, stored: Handle) -> Handle:
+        self.check_handle(stored, "result")
         ct_rows = stored.payload.data.shape[0]
         mat = np.zeros((self.r0, self.c1))
         for i, v in enumerate(
@@ -256,4 +270,4 @@ class MatMultRowBenchmark(_MatMultBase):
                     mat[2 * i + 1] = v[
                         self.ctx.n // 2 : self.ctx.n // 2 + self.c1
                     ]
-        return Handle(tag="matmult_clear", payload=mat)
+        return self.handle("clear", mat)

@@ -57,42 +57,43 @@ def coeff_automorphism_ref(x: np.ndarray, g: int, p: int) -> np.ndarray:
 def host_ntt(x: np.ndarray, psi: int, p: int) -> np.ndarray:
     """Fast host negacyclic NTT, same butterfly schedule as the device kernel
     (CT/DIT, natural input -> bit-reversed-evaluation output), int64 numpy.
+    Leading batch axes broadcast (one call transforms a whole batch).
     """
     n = x.shape[-1]
-    k_bits = n.bit_length() - 1
+    lead = x.shape[:-1]
     x = x.astype(np.int64).copy()
     roots = _root_table(psi, p, n)
     m, t = 1, n // 2
     while m < n:
-        xv = x.reshape(m, 2, t)
-        u = xv[:, 0, :]
-        v = xv[:, 1, :]
+        xv = x.reshape(lead + (m, 2, t))
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
         w = roots[m : 2 * m].reshape(m, 1).astype(np.int64)
         tv = v * w % p
         x = np.concatenate(
-            [(u + tv) % p, (u - tv) % p], axis=1
-        ).reshape(-1)
+            [(u + tv) % p, (u - tv) % p], axis=-1
+        ).reshape(lead + (n,))
         m, t = m * 2, t // 2
-    assert k_bits == k_bits
     return x.astype(np.uint32)
 
 
 def host_intt(x: np.ndarray, psi: int, p: int) -> np.ndarray:
     """Inverse of :func:`host_ntt` (GS/DIF, bit-reversed input -> natural)."""
     n = x.shape[-1]
+    lead = x.shape[:-1]
     x = x.astype(np.int64).copy()
     roots = _root_table(psi, p, n)
     inv_roots = np.array([pow(int(r), -1, p) for r in roots], dtype=np.int64)
     m = n // 2
     t = 1
     while m >= 1:
-        xv = x.reshape(m, 2, t)
-        u = xv[:, 0, :]
-        v = xv[:, 1, :]
+        xv = x.reshape(lead + (m, 2, t))
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
         w = inv_roots[m : 2 * m].reshape(m, 1)
         x = np.concatenate(
-            [(u + v) % p, (u - v) * w % p], axis=1
-        ).reshape(-1)
+            [(u + v) % p, (u - v) * w % p], axis=-1
+        ).reshape(lead + (n,))
         m, t = m // 2, t * 2
     n_inv = pow(n, -1, p)
     return (x * n_inv % p).astype(np.uint32)

@@ -89,29 +89,37 @@ def rns_to_mont(res: np.ndarray, primes: Tuple[int, ...]) -> np.ndarray:
 
 
 def mont_to_rns(res: np.ndarray, primes: Tuple[int, ...]) -> np.ndarray:
+    """Montgomery-form residues ``[..., L, N]`` -> standard residues; the
+    limb axis is second-to-last, leading batch axes broadcast (so one
+    call converts a whole decrypted Offline batch)."""
     out = []
     for i, p in enumerate(primes):
         rinv = pow(1 << 32, -1, p)
         out.append(
-            (res[i].astype(np.uint64) * np.uint64(rinv) % np.uint64(p)).astype(
-                np.uint32
-            )
+            (
+                res[..., i, :].astype(np.uint64)
+                * np.uint64(rinv)
+                % np.uint64(p)
+            ).astype(np.uint32)
         )
-    return np.stack(out)
+    return np.stack(out, axis=-2)
 
 
 def crt_compose_centered(res: np.ndarray, primes: Tuple[int, ...]) -> np.ndarray:
-    """CRT-compose residue rows [L, N] into centered bigints (object array).
+    """CRT-compose residue rows ``[..., L, N]`` into centered bigints
+    (object array, shape ``[..., N]``).
 
     Host-side exact reconstruction used by decrypt/decode; q = prod(primes).
+    Leading batch axes broadcast — the decryptors decrypt whole batches in
+    one vectorized pass instead of a per-sample Python loop.
     """
     q = 1
     for p in primes:
         q *= p
-    acc = np.zeros(res.shape[-1], dtype=object)
+    acc = np.zeros(res.shape[:-2] + res.shape[-1:], dtype=object)
     for i, p in enumerate(primes):
         qi = q // p
         ei = qi * pow(qi % p, -1, p)  # CRT idempotent
-        acc += res[i].astype(object) * ei
+        acc += res[..., i, :].astype(object) * ei
     acc %= q
     return np.where(acc > q // 2, acc - q, acc)

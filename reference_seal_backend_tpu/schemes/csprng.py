@@ -60,14 +60,21 @@ def chacha_blocks(
     key_words: np.ndarray, nonce_words: np.ndarray, counter0: int, n_blocks: int
 ) -> np.ndarray:
     """RFC 8439 ChaCha20 block function for ``n_blocks`` consecutive
-    counters, vectorized: returns [n_blocks, 16] uint32 keystream."""
+    counters, vectorized: returns [n_blocks, 16] uint32 keystream.
+
+    The block counter is effectively 64-bit: bits >= 2^32 carry into the
+    first nonce word, so a single logical stream never repeats (2^32
+    blocks = 256 GiB was a silent wrap before; ChaChaRng reserves nonce
+    word 0 as zero for exactly this carry).  Counters below 2^32 with a
+    zero first nonce word are bit-identical to plain RFC 8439."""
     state = np.empty((n_blocks, 16), dtype=_U32)
     state[:, 0:4] = _CONSTANTS
     state[:, 4:12] = key_words
-    state[:, 12] = (
-        np.arange(counter0, counter0 + n_blocks, dtype=np.uint64) & 0xFFFFFFFF
-    ).astype(_U32)
+    ctr = np.arange(counter0, counter0 + n_blocks, dtype=np.uint64)
+    state[:, 12] = (ctr & np.uint64(0xFFFFFFFF)).astype(_U32)
     state[:, 13:16] = nonce_words
+    with np.errstate(over="ignore"):
+        state[:, 13] += (ctr >> np.uint64(32)).astype(_U32)
     work = state.copy()
     with np.errstate(over="ignore"):
         for _ in range(10):  # 20 rounds = 10 double rounds
@@ -83,16 +90,28 @@ def chacha_blocks(
     return work
 
 
+def _int_bytes(v: int) -> bytes:
+    """Minimal-width signed little-endian encoding with a length prefix —
+    unambiguous for arbitrary-magnitude ints (a fixed 32-byte field
+    overflowed at |seed| >= 2^255)."""
+    v = int(v)
+    width = max(1, (v.bit_length() + 8) // 8)  # +8: room for the sign bit
+    body = v.to_bytes(width, "little", signed=True)
+    return len(body).to_bytes(4, "little") + body
+
+
 def _seed_key(seed: Union[int, Sequence[int], bytes]) -> bytes:
-    """Canonical 32-byte key from any seed shape the callers use."""
+    """Canonical 32-byte key from any seed shape the callers use.
+
+    The three seed kinds are domain-separated by a type tag so e.g.
+    ``ChaChaRng(5)`` and ``ChaChaRng([5])`` derive unrelated keys, and
+    int entries are length-prefixed variable-width (no magnitude cap)."""
     if isinstance(seed, bytes):
-        material = seed
+        material = b"B" + seed
     elif isinstance(seed, (int, np.integer)):
-        material = int(seed).to_bytes(32, "little", signed=True)
+        material = b"I" + _int_bytes(seed)
     else:
-        material = b"".join(
-            int(s).to_bytes(32, "little", signed=True) for s in seed
-        )
+        material = b"S" + b"".join(_int_bytes(s) for s in seed)
     return hashlib.sha256(b"rsb-tpu-chacha20|" + material).digest()
 
 

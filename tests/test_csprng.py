@@ -64,6 +64,48 @@ def test_determinism_and_stream_separation():
     assert not np.array_equal(a, d)
 
 
+def test_seed_domain_separation():
+    """Int, single-element-sequence and bytes seeds are domain-separated
+    (ChaChaRng(5) != ChaChaRng([5])); arbitrary-magnitude int seeds work
+    (the old fixed 32-byte field overflowed at |seed| >= 2^255)."""
+    a = ChaChaRng(5).u32(32)
+    b = ChaChaRng([5]).u32(32)
+    c = ChaChaRng((5).to_bytes(1, "little")).u32(32)
+    assert not np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert not np.array_equal(b, c)
+    big = ChaChaRng(1 << 300).u32(8)          # would raise before
+    neg = ChaChaRng(-(1 << 300)).u32(8)
+    assert not np.array_equal(big, neg)
+    # widths are canonical: equal ints hash equal regardless of origin
+    np.testing.assert_array_equal(
+        ChaChaRng(np.int64(7)).u32(8), ChaChaRng(7).u32(8)
+    )
+
+
+def test_counter_carries_into_nonce():
+    """The block counter is effectively 64-bit: bits >= 2^32 carry into
+    nonce word 0, so the keystream never repeats at the 2^32-block wrap
+    (ADVICE r4) and batched generation across the boundary matches
+    sequential."""
+    key = np.arange(8, dtype=np.uint32)
+    nonce = np.array([0, 3, 4], dtype=np.uint32)
+    lo = (1 << 32) - 1
+    batch = chacha_blocks(key, nonce, lo, 3)
+    singles = np.concatenate(
+        [chacha_blocks(key, nonce, lo + i, 1) for i in range(3)]
+    )
+    np.testing.assert_array_equal(batch, singles)
+    # block 2^32 == (nonce word0 + 1, counter 0): no collision with the
+    # counter-0 block of the same stream
+    wrapped = chacha_blocks(key, nonce, 1 << 32, 1)
+    carried = chacha_blocks(
+        key, np.array([1, 3, 4], dtype=np.uint32), 0, 1
+    )
+    np.testing.assert_array_equal(wrapped, carried)
+    assert not np.array_equal(wrapped, chacha_blocks(key, nonce, 0, 1))
+
+
 def test_buffered_reads_equal_one_shot():
     r1 = ChaChaRng(9)
     parts = np.concatenate([r1.u32(7), r1.u32(33), r1.u32(100)])
