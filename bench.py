@@ -7,22 +7,32 @@ line the driver parses (first or last) always carries the headline — round 2
 timed out with NOTHING recorded because the old structure ran the whole
 suite before printing anything (VERDICT r2, weak #1).
 
-Structure (VERDICT r2 item 1, hardened per VERDICT r3 items 1/2/5):
-  1. Measure + gate the headline (bare CKKS ct-ct multiply at N=16384, the
-     reference's eltwise-mult hot op — /root/reference
-     src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343) with a
-     MINIMAL keygen, emit immediately.
-  2. Run the extras cheapest-first, each behind its own correctness gate
-     AND a wall-clock budget check (``RSB_TPU_BENCH_BUDGET_S``, default
+Structure (VERDICT r2 item 1, hardened per VERDICT r3 items 1/2/5 and
+restructured per VERDICT r4 item 1 — the r04 420 s driver run captured
+only 2 of 10 metrics because the key-switch metrics paid a SECOND
+N=16384 context+keygen and sat behind a step that stalled for 193 s):
+  1. Measure + gate the headline (bare CKKS ct-ct multiply at N=16384,
+     the reference's eltwise-mult hot op — /root/reference
+     src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:343) on a
+     context whose keygen ALREADY carries relin + the 7 rotation keys
+     (device-resident keygen makes the marginal cost seconds), emit
+     immediately.
+  2. Run the three key-switch metrics FIRST among the extras: they reuse
+     the headline's context/keyset/operands, so each costs one
+     executable load + a 2 s measurement loop, not a fresh keygen.  The
+     stall-prone dot-product step (193.6 s in the r04 driver run) runs
+     after them.  Every step sits behind its own correctness gate AND a
+     wall-clock budget check (``RSB_TPU_BENCH_BUDGET_S``, default
      420 s).  Per-step cost estimates are WARM persistent-cache figures
      scaled by a COLD FACTOR calibrated from the measured headline
      duration vs its known warm duration — a cold-cache run skips
      expensive steps instead of overrunning the driver's timeout (the
      round-3 failure: warm estimates, cold run, 969 s elapsed on a 420 s
-     budget).  The three key-switch metrics are budget-checked
-     INDIVIDUALLY (they share one lazily-built context/keyset).
+     budget).
   3. Per-step wall times are recorded in ``timings`` so any skip decision
-     is auditable from the BENCH artifact alone.
+     is auditable from the BENCH artifact alone; skipped steps are
+     collected and emitted ONCE after the loop (the r04 artifact tail
+     was 8 near-identical lines, one per skip).
 
 ``bench_suite.json`` is only overwritten by a record at least as complete
 as the one already on disk (same-or-superset extras keys): a partial
@@ -104,12 +114,28 @@ def _elapsed() -> float:
 
 def _more_complete(new: dict, old: dict) -> bool:
     """True iff ``new`` may overwrite ``old``: a real headline and extras
-    at least as complete (superset of keys — never fewer metrics)."""
+    at least as complete — a partial budget-limited run never clobbers a
+    fuller committed record.
+
+    Completeness compares only against the metric keys THIS bench version
+    can still produce (``CURRENT_METRIC_KEYS``): a renamed or retired
+    metric in the committed record would otherwise block promotion
+    forever (ADVICE r4).  ``RSB_TPU_BENCH_FORCE_PROMOTE=1`` overrides."""
     if new.get("value") is None:
         return False
+    if os.environ.get("RSB_TPU_BENCH_FORCE_PROMOTE") == "1":
+        return True
     if not isinstance(old, dict) or old.get("value") is None:
         return True
-    return set(new.get("extras", {})) >= set(old.get("extras", {}))
+    old_keys = set(old.get("extras", {}))
+    stale = old_keys - CURRENT_METRIC_KEYS
+    if stale:
+        print(
+            f"bench: committed record carries retired metric keys {sorted(stale)}; "
+            "comparing completeness on current keys only",
+            file=sys.stderr,
+        )
+    return set(new.get("extras", {})) >= (old_keys & CURRENT_METRIC_KEYS)
 
 
 def _emit() -> None:
@@ -171,49 +197,22 @@ def _broadcast(ct, batch):
     return replace(ct, data=jnp.broadcast_to(ct.data, (batch,) + ct.data.shape))
 
 
-def headline() -> None:
-    """Bare ct-ct multiply throughput — minimal keygen (no relin/galois) so
-    the number lands as early as possible."""
-    ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
-    ks = keys_mod.keygen(ctx, seed=1234, need_relin=False)
-    enc = ckks.CkksEncoder(ctx)
-    encryptor = ckks.CkksEncryptor(ctx, ks, seed=1234)
-    decryptor = ckks.CkksDecryptor(ctx, ks)
-    ev = Evaluator(ctx, ks)
-    rng = np.random.default_rng(1234)
-    va = rng.uniform(-1, 1, ctx.slots)
-    vb = rng.uniform(-1, 1, ctx.slots)
-    ca = encryptor.encrypt_pt(enc.encode(va))
-    cb = encryptor.encrypt_pt(enc.encode(vb))
-    a64, b64 = _broadcast(ca, BATCH), _broadcast(cb, BATCH)
-    mult = jax.jit(ev.multiply)
-    out = mult(a64, b64)
-    _gate(
-        "ctct_mult",
-        np.real(decryptor.decrypt(replace(out, data=out.data[0]))),
-        va * vb,
-        EPS,
-    )
-    ops = BATCH * _throughput(mult, lambda o: o.data, a64, b64)
-    RESULT["value"] = round(ops, 1)
-    RESULT["vs_baseline"] = round(ops / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2)
-
-
-class _KsState:
-    """Shared context/keys/operands for the three key-switch metrics,
-    built once on first use (so each metric gets its own budget check
-    without tripling the keygen cost — VERDICT r3 item 1)."""
+class _State:
+    """Context/keys/operands shared by the headline AND the three
+    key-switch metrics: ONE device-resident keygen (relin + the 7
+    rotation keys 5^1..5^7) paid inside the headline step, so each
+    key-switch metric's marginal cost is one executable load + a 2 s
+    measurement loop — the r04 structure paid a second N=16384
+    context+keygen for them and the 420 s driver budget starved
+    (VERDICT r4 item 1)."""
 
     def __init__(self):
-        self._built = False
-
-    def ensure(self):
-        if self._built:
-            return self
         ctx = make_ckks_context(poly_modulus_degree=N, mult_depth=2)
+        self.ctx = ctx
         ks = keys_mod.keygen(
-            ctx, seed=1234, galois_elts=(pow(5, 1, 2 * ctx.n),)
-            + tuple(pow(5, s, 2 * ctx.n) for s in range(2, 8)),
+            ctx,
+            seed=1234,
+            galois_elts=tuple(pow(5, s, 2 * ctx.n) for s in range(1, 8)),
             need_relin=True,
         )
         enc = ckks.CkksEncoder(ctx)
@@ -225,14 +224,30 @@ class _KsState:
         self.vb = rng.uniform(-1, 1, ctx.slots)
         ca = encryptor.encrypt_pt(enc.encode(self.va))
         cb = encryptor.encrypt_pt(enc.encode(self.vb))
+        self.a64, self.b64 = _broadcast(ca, BATCH), _broadcast(cb, BATCH)
         self.a8, self.b8 = _broadcast(ca, BATCH_KS), _broadcast(cb, BATCH_KS)
-        self._built = True
-        return self
 
 
-def ks_mult_relin_rescale(st: _KsState, extras):
+def headline() -> "_State":
+    """Bare ct-ct multiply throughput; returns the shared state the
+    key-switch metrics reuse."""
+    st = _State()
+    mult = jax.jit(st.ev.multiply)
+    out = mult(st.a64, st.b64)
+    _gate(
+        "ctct_mult",
+        np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
+        st.va * st.vb,
+        EPS,
+    )
+    ops = BATCH * _throughput(mult, lambda o: o.data, st.a64, st.b64)
+    RESULT["value"] = round(ops, 1)
+    RESULT["vs_baseline"] = round(ops / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2)
+    return st
+
+
+def ks_mult_relin_rescale(st: _State, extras):
     """multiply + relinearize + rescale (the workload multiply path)."""
-    st.ensure()
     mrr = jax.jit(
         lambda x, y: st.ev.rescale_to_next(st.ev.relinearize(st.ev.multiply(x, y)))
     )
@@ -248,9 +263,8 @@ def ks_mult_relin_rescale(st: _KsState, extras):
     )
 
 
-def ks_rotate(st: _KsState, extras):
+def ks_rotate(st: _State, extras):
     """rotate by 1 (Galois key switch)."""
-    st.ensure()
     rot = jax.jit(lambda x: st.ev.rotate(x, 1))
     out = rot(st.a8)
     _gate(
@@ -264,9 +278,8 @@ def ks_rotate(st: _KsState, extras):
     )
 
 
-def ks_rotate_sum(st: _KsState, extras):
+def ks_rotate_sum(st: _State, extras):
     """hoisted 8-rotation sum (MatMultRow / small-count accumulate path)."""
-    st.ensure()
     steps = list(range(8))
     rsum = jax.jit(lambda x: st.ev.rotate_sum(x, steps))
     out = rsum(st.a8)
@@ -377,6 +390,23 @@ def eltwise_mult_offline(extras):
     )
 
 
+def _record_describe(bench, key):
+    """Chain-shape evidence for the record (e.g. the N=32768 run's
+    key_switch_digit_group=3 — VERDICT r4 item 6 asks the describe() to
+    back the G=3 claim in the artifact itself)."""
+    d = bench.describe()
+    RESULT.setdefault("describe", {})[key] = {
+        k: d[k]
+        for k in (
+            "poly_modulus_degree",
+            "coeff_modulus_chain_bits",
+            "special_modulus_bits",
+            "key_switch_digit_group",
+            "security",
+        )
+    }
+
+
 def logreg_latency(extras, poly: int, key: str):
     bench = _engine_bench("LOGREG_POLY_D3", "LATENCY", "CKKS",
                           {"poly_modulus_degree": poly})
@@ -389,6 +419,7 @@ def logreg_latency(extras, poly: int, key: str):
     (got,) = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
     z = x @ w + b
     _gate(key, got, 0.5 + 0.15012 * z - 0.0015930078125 * z**3, 5e-4)
+    _record_describe(bench, key)
     extras[key] = round(
         _latency_ms(
             lambda: bench.block(bench.operate(h)), lambda o: 0, reps=5
@@ -397,14 +428,18 @@ def logreg_latency(extras, poly: int, key: str):
     )
 
 
-def logreg_offline(extras):
-    """CKKS logreg Offline samples/s at N=16384 with the reference's
-    default batch of 100 (the constant behind the flexible registration,
+def logreg_offline(extras, poly: int, key: str):
+    """CKKS logreg Offline samples/s with the reference's default batch
+    of 100 (the constant behind the flexible registration,
     include/benchmarks/ckks/seal_ckks_logreg_horner.h:24; offline
-    data_count {1,1,batch} src/benchmarks/ckks/seal_ckks_logreg_horner.cpp:38-45)."""
+    data_count {1,1,batch} src/benchmarks/ckks/seal_ckks_logreg_horner.cpp:38-45).
+    At poly=32768 the depth-6 chain's 881-bit HE-standard budget admits a
+    3-prime special modulus and the auto ladder selects G=3 grouped
+    digits (params._resolve_digit_group); the dots-stage HBM chunking
+    (models/logreg.py) keeps batch-100 feasible."""
     batch = 100
     bench = _engine_bench("LOGREG_POLY_D3", "OFFLINE", "CKKS",
-                          {"poly_modulus_degree": 16384, "batch_size": batch})
+                          {"poly_modulus_degree": poly, "batch_size": batch})
     n = bench.params["n"]
     rng = np.random.default_rng(1234)
     w = rng.uniform(-1, 1, n)
@@ -413,25 +448,37 @@ def logreg_offline(extras):
     h = bench.load(bench.encrypt(bench.encode([w, b, x])))
     (got,) = bench.decode(bench.decrypt(bench.store(bench.operate(h))))
     z = x @ w + b
-    _gate(
-        "logreg_offline",
-        got,
-        0.5 + 0.15012 * z - 0.0015930078125 * z**3,
-        5e-4,
-    )
+    _gate(key, got, 0.5 + 0.15012 * z - 0.0015930078125 * z**3, 5e-4)
+    _record_describe(bench, key)
     sec_per_batch = (
         _latency_ms(lambda: bench.block(bench.operate(h)), lambda o: 0, reps=5)
         / 1e3
     )
-    extras["ckks_logreg_offline_b100_samples_per_sec_n16384"] = round(
-        batch / sec_per_batch, 1
-    )
+    extras[key] = round(batch / sec_per_batch, 1)
+
+
+# Every metric key this bench version can produce (completeness basis
+# for record promotion — see _more_complete).
+CURRENT_METRIC_KEYS = frozenset(
+    {
+        "ckks_rotate_per_sec_n16384",
+        "ckks_mult_relin_rescale_per_sec_n16384",
+        "ckks_rotate_sum8_per_sec_n16384",
+        "bfv_behz_mult_per_sec_n8192",
+        "ckks_dot_n100_latency_ms_n8192",
+        "ckks_eltwise_mult_offline_samples_per_sec_n8192",
+        "ckks_logreg_n16384_latency_ms",
+        "ckks_logreg_offline_b100_samples_per_sec_n16384",
+        "ckks_logreg_n32768_latency_ms",
+        "ckks_logreg_offline_b100_samples_per_sec_n32768",
+    }
+)
 
 
 def main() -> None:
     extras = RESULT["extras"]
     t_step = time.monotonic()
-    headline()
+    st = headline()
     headline_s = time.monotonic() - t_step
     RESULT["timings"]["headline"] = round(headline_s, 1)
     # Cold-factor calibration: every per-step estimate below is a measured
@@ -441,20 +488,21 @@ def main() -> None:
     RESULT["cold_factor"] = round(factor, 2)
     _emit()  # headline recorded — everything past this point is bonus
 
-    ks = _KsState()
     # (metric name, fn, estimated WARM cost in seconds — best-observed
     # per-step walls from the 2026-08-21 chip runs with a hot persistent
-    # cache and device-resident keygen; ordered cheapest-first so a
-    # squeezed budget keeps the most metrics).  The budget check scales
-    # each estimate by the calibrated cold factor; `timings` in the
-    # emitted record carries what each step actually took.
+    # cache and device-resident keygen).  Order is by MARGINAL cost: the
+    # three key-switch metrics reuse the headline's context/keys, so they
+    # run first (executable load + 2 s loop each); the dot step — 193.6 s
+    # in the r04 driver run's stall lottery — is demoted behind them.
+    # The budget check scales each estimate by the calibrated cold
+    # factor; `timings` carries what each step actually took.
     steps = [
-        ("ckks_dot_n100", lambda: dot_latency(extras), 40.0),
-        ("bfv_behz_mult", lambda: bfv_suite(extras), 60.0),
-        ("ckks_rotate", lambda: ks_rotate(ks, extras), 60.0),
+        ("ckks_rotate", lambda: ks_rotate(st, extras), 25.0),
         ("ckks_mult_relin_rescale",
-         lambda: ks_mult_relin_rescale(ks, extras), 40.0),
-        ("ckks_rotate_sum8", lambda: ks_rotate_sum(ks, extras), 80.0),
+         lambda: ks_mult_relin_rescale(st, extras), 25.0),
+        ("ckks_rotate_sum8", lambda: ks_rotate_sum(st, extras), 45.0),
+        ("bfv_behz_mult", lambda: bfv_suite(extras), 60.0),
+        ("ckks_dot_n100", lambda: dot_latency(extras), 60.0),
         ("ckks_eltwise_mult_offline",
          lambda: eltwise_mult_offline(extras), 90.0),
         (
@@ -462,18 +510,30 @@ def main() -> None:
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
             130.0,
         ),
-        ("ckks_logreg_offline_b100", lambda: logreg_offline(extras), 160.0),
+        (
+            "ckks_logreg_offline_b100",
+            lambda: logreg_offline(
+                extras, 16384, "ckks_logreg_offline_b100_samples_per_sec_n16384"
+            ),
+            150.0,
+        ),
         (
             "ckks_logreg_n32768",
             lambda: logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms"),
             300.0,
         ),
+        (
+            "ckks_logreg_offline_b100_n32768",
+            lambda: logreg_offline(
+                extras, 32768, "ckks_logreg_offline_b100_samples_per_sec_n32768"
+            ),
+            360.0,
+        ),
     ]
     for name, fn, warm_est in steps:
         if _elapsed() + warm_est * factor > BUDGET_S - RESERVE_S:
             RESULT["skipped"].append(name)
-            _emit()
-            continue
+            continue  # no per-skip emit: one final emit carries them all
         t_step = time.monotonic()
         try:
             fn()
@@ -482,6 +542,8 @@ def main() -> None:
         except Exception as e:  # record, keep the headline alive
             RESULT["skipped"].append(f"{name}: {type(e).__name__}: {e}")
         RESULT["timings"][name] = round(time.monotonic() - t_step, 1)
+        _emit()
+    if RESULT["skipped"]:
         _emit()
 
 

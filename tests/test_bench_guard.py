@@ -27,32 +27,57 @@ class TestMoreComplete:
 
     def test_partial_cannot_clobber_full(self):
         bench = _load_bench()
-        full = {"value": 1.0, "extras": {"a": 1, "b": 2, "c": 3}}
-        partial = {"value": 2.0, "extras": {"a": 9}}
+        k = sorted(bench.CURRENT_METRIC_KEYS)
+        full = {"value": 1.0, "extras": {k[0]: 1, k[1]: 2, k[2]: 3}}
+        partial = {"value": 2.0, "extras": {k[0]: 9}}
         assert not bench._more_complete(partial, full)
         assert bench._more_complete(full, partial)
 
     def test_superset_promotes(self):
         bench = _load_bench()
-        old = {"value": 1.0, "extras": {"a": 1, "b": 2}}
-        new = {"value": 2.0, "extras": {"a": 5, "b": 6, "new_metric": 7}}
+        k = sorted(bench.CURRENT_METRIC_KEYS)
+        old = {"value": 1.0, "extras": {k[0]: 1, k[1]: 2}}
+        new = {"value": 2.0, "extras": {k[0]: 5, k[1]: 6, k[2]: 7}}
         assert bench._more_complete(new, old)
         assert bench._more_complete(new, new)
 
+    def test_retired_keys_do_not_block_promotion(self):
+        """A committed record carrying a renamed/retired metric key must
+        not block every future promotion (ADVICE r4): completeness is
+        judged on the keys the CURRENT bench version can produce."""
+        bench = _load_bench()
+        k = sorted(bench.CURRENT_METRIC_KEYS)
+        old = {"value": 1.0, "extras": {k[0]: 1, "retired_metric_v0": 2}}
+        new = {"value": 2.0, "extras": {k[0]: 5}}
+        assert bench._more_complete(new, old)
+        # but missing a still-current committed key keeps blocking
+        old2 = {"value": 1.0, "extras": {k[0]: 1, k[1]: 2}}
+        assert not bench._more_complete(new, old2)
+
+    def test_force_promote_env(self, monkeypatch):
+        bench = _load_bench()
+        k = sorted(bench.CURRENT_METRIC_KEYS)
+        full = {"value": 1.0, "extras": {k[0]: 1, k[1]: 2}}
+        partial = {"value": 2.0, "extras": {}}
+        assert not bench._more_complete(partial, full)
+        monkeypatch.setenv("RSB_TPU_BENCH_FORCE_PROMOTE", "1")
+        assert bench._more_complete(partial, full)
+
     def test_emit_preserves_full_record_on_disk(self, tmp_path, monkeypatch):
         bench = _load_bench()
+        k = sorted(bench.CURRENT_METRIC_KEYS)
         monkeypatch.chdir(tmp_path)
         full = {
             "metric": "m",
             "value": 100.0,
-            "extras": {"a": 1, "b": 2},
+            "extras": {k[0]: 1, k[1]: 2},
         }
         with open("bench_suite.json", "w") as f:
             json.dump(full, f)
         saved = dict(bench.RESULT)
         try:
             bench.RESULT.update(
-                {"value": 50.0, "extras": {"a": 9}, "skipped": ["b"]}
+                {"value": 50.0, "extras": {k[0]: 9}, "skipped": [k[1]]}
             )
             bench._emit()
         finally:
