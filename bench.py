@@ -215,6 +215,7 @@ class _State:
             galois_elts=tuple(pow(5, s, 2 * ctx.n) for s in range(1, 8)),
             need_relin=True,
         )
+        self.keys = ks
         enc = ckks.CkksEncoder(ctx)
         encryptor = ckks.CkksEncryptor(ctx, ks, seed=1234)
         self.decryptor = ckks.CkksDecryptor(ctx, ks)
@@ -247,11 +248,18 @@ def headline() -> "_State":
 
 
 def ks_mult_relin_rescale(st: _State, extras):
-    """multiply + relinearize + rescale (the workload multiply path)."""
+    """multiply + relinearize + rescale (the workload multiply path).
+
+    Keys flow as jit ARGUMENTS (models/base.py jit_with_keys rationale):
+    embedding them as closure constants bloats the executable with tens
+    of MB of key data, defeating the persistent cache's cheap hit path
+    over the remote-compile tunnel."""
     mrr = jax.jit(
-        lambda x, y: st.ev.rescale_to_next(st.ev.relinearize(st.ev.multiply(x, y)))
+        lambda keys, x, y: (lambda ev: ev.rescale_to_next(
+            ev.relinearize(ev.multiply(x, y))
+        ))(Evaluator(st.ctx, keys))
     )
-    out = mrr(st.a8, st.b8)
+    out = mrr(st.keys, st.a8, st.b8)
     _gate(
         "mult_relin_rescale",
         np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
@@ -259,14 +267,17 @@ def ks_mult_relin_rescale(st: _State, extras):
         5e-4,
     )
     extras["ckks_mult_relin_rescale_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(mrr, lambda o: o.data, st.a8, st.b8), 1
+        BATCH_KS * _throughput(mrr, lambda o: o.data, st.keys, st.a8, st.b8),
+        1,
     )
 
 
 def ks_rotate(st: _State, extras):
     """rotate by 1 (Galois key switch)."""
-    rot = jax.jit(lambda x: st.ev.rotate(x, 1))
-    out = rot(st.a8)
+    rot = jax.jit(
+        lambda keys, x: Evaluator(st.ctx, keys).rotate(x, 1)
+    )
+    out = rot(st.keys, st.a8)
     _gate(
         "rotate",
         np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
@@ -274,15 +285,17 @@ def ks_rotate(st: _State, extras):
         5e-4,
     )
     extras["ckks_rotate_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(rot, lambda o: o.data, st.a8), 1
+        BATCH_KS * _throughput(rot, lambda o: o.data, st.keys, st.a8), 1
     )
 
 
 def ks_rotate_sum(st: _State, extras):
     """hoisted 8-rotation sum (MatMultRow / small-count accumulate path)."""
     steps = list(range(8))
-    rsum = jax.jit(lambda x: st.ev.rotate_sum(x, steps))
-    out = rsum(st.a8)
+    rsum = jax.jit(
+        lambda keys, x: Evaluator(st.ctx, keys).rotate_sum(x, steps)
+    )
+    out = rsum(st.keys, st.a8)
     want = np.zeros(st.va.shape[0])
     for s in steps:
         want += np.roll(st.va, -s)
@@ -293,7 +306,7 @@ def ks_rotate_sum(st: _State, extras):
         5e-4 * len(steps),
     )
     extras["ckks_rotate_sum8_per_sec_n16384"] = round(
-        BATCH_KS * _throughput(rsum, lambda o: o.data, st.a8), 1
+        BATCH_KS * _throughput(rsum, lambda o: o.data, st.keys, st.a8), 1
     )
 
 

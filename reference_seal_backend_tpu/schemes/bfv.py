@@ -130,21 +130,40 @@ class BfvDecryptor:
     def __init__(self, ctx: BfvContext, keys: KeySet):
         self.ctx = ctx
         self.keys = keys
+        self._jits = {}  # (size, level) -> jitted device decrypt
+
+    def _device_coeffs(self, ct: core.Ciphertext) -> jnp.ndarray:
+        """Σ c_k s^k + iNTT as ONE jitted executable (same rationale as
+        CkksDecryptor._device_coeffs: eager dispatch chains are
+        latency-bound over the tunneled chip)."""
+        key = (ct.size, ct.level)
+        fn = self._jits.get(key)
+        if fn is None:
+            ctx, size, L = self.ctx, ct.size, ct.level
+
+            def impl(data, secret):
+                s = secret[:L]
+                p, pni = ctx.consts(0, L)
+                comps = [data[..., k, :, :] for k in range(size)]
+                acc = comps[-1]
+                for k in range(size - 2, -1, -1):
+                    acc = modops.mod_add(
+                        modops.mont_mul(acc, s, p, pni), comps[k], p
+                    )
+                return ctx.plan.inv(acc, lo=0)
+
+            import jax
+
+            fn = self._jits[key] = jax.jit(impl)
+        return fn(ct.data, self.keys.secret_ntt)
 
     def decrypt_poly(self, ct: core.Ciphertext) -> np.ndarray:
         """-> plaintext polynomial mod t: round(t·[c(s)]_q / q) mod t."""
         ctx = self.ctx
         L = ct.level
-        s = self.keys.secret_ntt[:L]
-        p, pni = ctx.consts(0, L)
-        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
-        acc = comps[-1]
-        for k in range(ct.size - 2, -1, -1):
-            acc = modops.mod_add(
-                modops.mont_mul(acc, s, p, pni), comps[k], p
-            )
-        coeff = ctx.plan.inv(acc, lo=0)
-        res = core.mont_to_rns(np.asarray(coeff), ctx.primes[:L])
+        res = core.mont_to_rns(
+            np.asarray(self._device_coeffs(ct)), ctx.primes[:L]
+        )
         x = core.crt_compose_centered(res, ctx.primes[:L])
         q = ctx.q_at_level(L)
         t = ctx.t
@@ -163,16 +182,9 @@ class BfvDecryptor:
         invariant_noise_budget)."""
         ctx = self.ctx
         L = ct.level
-        s = self.keys.secret_ntt[:L]
-        p, pni = ctx.consts(0, L)
-        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
-        acc = comps[-1]
-        for k in range(ct.size - 2, -1, -1):
-            acc = modops.mod_add(
-                modops.mont_mul(acc, s, p, pni), comps[k], p
-            )
-        coeff = ctx.plan.inv(acc, lo=0)
-        res = core.mont_to_rns(np.asarray(coeff), ctx.primes[:L])
+        res = core.mont_to_rns(
+            np.asarray(self._device_coeffs(ct)), ctx.primes[:L]
+        )
         x = core.crt_compose_centered(res, ctx.primes[:L])
         q = ctx.q_at_level(L)
         t = ctx.t

@@ -149,21 +149,41 @@ class CkksDecryptor:
     def __init__(self, ctx: CkksContext, keys: KeySet):
         self.ctx = ctx
         self.keys = keys
+        self._jits = {}  # (size, level) -> jitted device decrypt
+
+    def _device_coeffs(self, ct: core.Ciphertext) -> jnp.ndarray:
+        """Σ c_k s^k + iNTT as ONE jitted executable (secret passed as an
+        argument, not a constant).  Eagerly this was dozens of small
+        dispatches — over the tunneled chip each carries latency, making
+        every bench correctness gate cost tens of seconds."""
+        key = (ct.size, ct.level)
+        fn = self._jits.get(key)
+        if fn is None:
+            ctx, size, L = self.ctx, ct.size, ct.level
+
+            def impl(data, secret):
+                s = secret[:L]
+                p, pni = ctx.consts(0, L)
+                comps = [data[..., k, :, :] for k in range(size)]
+                acc = comps[-1]
+                for k in range(size - 2, -1, -1):
+                    acc = modops.mod_add(
+                        modops.mont_mul(acc, s, p, pni), comps[k], p
+                    )
+                return ctx.plan.inv(acc, lo=0)
+
+            import jax
+
+            fn = self._jits[key] = jax.jit(impl)
+        return fn(ct.data, self.keys.secret_ntt)
 
     def decrypt_to_coeffs(self, ct: core.Ciphertext) -> np.ndarray:
         """Σ c_k s^k, iNTT, CRT-compose -> centered bigint coefficients."""
         ctx = self.ctx
         L = ct.level
-        s = self.keys.secret_ntt[:L]
-        p, pni = ctx.consts(0, L)
-        comps = [ct.data[..., k, :, :] for k in range(ct.size)]
-        acc = comps[-1]
-        for k in range(ct.size - 2, -1, -1):
-            acc = modops.mod_add(
-                modops.mont_mul(acc, s, p, pni), comps[k], p
-            )
-        coeff_mont = ctx.plan.inv(acc, lo=0)
-        res = core.mont_to_rns(np.asarray(coeff_mont), ctx.primes[:L])
+        res = core.mont_to_rns(
+            np.asarray(self._device_coeffs(ct)), ctx.primes[:L]
+        )
         return core.crt_compose_centered(res, ctx.primes[:L])
 
     def decrypt(self, ct: core.Ciphertext, slots: Optional[int] = None):
