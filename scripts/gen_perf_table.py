@@ -38,6 +38,10 @@ ROWS = [
      "reference default batch constant behind the flexible registration"),
     ("ckks_logreg_n32768_latency_ms", "CKKS logreg PolyD3 operate, N=32768",
      "ms", "staged config 5 (BASELINE.md)"),
+    ("ckks_logreg_offline_b100_samples_per_sec_n32768",
+     "CKKS logreg PolyD3 Offline batch=100, N=32768", "samples/s",
+     "G=3 grouped-digit chain (90-bit special modulus), HBM-chunked dots "
+     "stage; describe() recorded in bench_suite.json"),
 ]
 
 START = "<!-- BENCH_TABLE_START -->"
