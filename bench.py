@@ -113,6 +113,17 @@ def _elapsed() -> float:
     return time.monotonic() - _T0
 
 
+def _calibrate(ratios) -> float:
+    """Cold factor = MINIMUM observed actual/warm-estimate ratio, floored
+    at 1 (never discount below the warm estimates) and capped at 25.
+
+    The minimum — not the mean, not the latest — because per-step walls
+    carry minute-scale random tunnel stalls: one step landing at its warm
+    estimate proves the persistent cache is hot, so remaining inflation
+    on other steps was stall noise, not cold compiles."""
+    return max(1.0, min(min(ratios), 25.0))
+
+
 def _more_complete(new: dict, old: dict) -> bool:
     """True iff ``new`` may overwrite ``old``: a real headline and extras
     at least as complete — a partial budget-limited run never clobbers a
@@ -506,7 +517,7 @@ def main() -> None:
     # stalled headline (observed: 133 s vs the 88 s warm figure) inflates
     # every later estimate 1.5x and over-skips a warm run.
     ratios = [headline_s / WARM_HEADLINE_S]
-    factor = max(1.0, min(min(ratios), 25.0))
+    factor = _calibrate(ratios)
     RESULT["cold_factor"] = round(factor, 2)
     _emit()  # headline recorded — everything past this point is bonus
 
@@ -567,7 +578,7 @@ def main() -> None:
         step_s = time.monotonic() - t_step
         RESULT["timings"][name] = round(step_s, 1)
         ratios.append(step_s / warm_est)
-        factor = max(1.0, min(min(ratios), 25.0))
+        factor = _calibrate(ratios)
         RESULT["cold_factor"] = round(factor, 2)
         _emit()
     if RESULT["skipped"]:

@@ -91,6 +91,19 @@ class TestMoreComplete:
         assert latest["value"] == 50.0  # the run's own state still recorded
 
 
+def test_cold_factor_calibration():
+    """The skip-budget factor takes the MINIMUM observed ratio (one step
+    at its warm estimate proves the cache is hot), floored at 1, capped
+    at 25 — a stalled headline must not inflate later estimates once a
+    cheap step lands warm."""
+    bench = _load_bench()
+    assert bench._calibrate([1.5]) == 1.5          # stalled headline alone
+    assert bench._calibrate([1.5, 1.07]) == 1.07   # one near-warm step
+    assert bench._calibrate([1.5, 0.8]) == 1.0     # floor at warm
+    assert bench._calibrate([80.0]) == 25.0        # cold-cache cap
+    assert bench._calibrate([3.0, 2.5, 2.8]) == 2.5  # genuinely cold
+
+
 def test_jit_with_keys_reentrancy_guard():
     """A second concurrent trace of the same benchmark raises cleanly
     instead of corrupting the keys/ev swap (models/base.py
