@@ -243,17 +243,30 @@ class _State:
 
 def headline() -> "_State":
     """Bare ct-ct multiply throughput; returns the shared state the
-    key-switch metrics reuse."""
+    key-switch metrics reuse.  Phase walls land in
+    ``timings["headline_detail"]`` so a stalled run shows WHERE the time
+    went (setup vs executable load vs gate vs measurement)."""
+    detail = {}
+    t = time.monotonic()
     st = _State()
+    detail["setup"] = round(time.monotonic() - t, 1)
+    t = time.monotonic()
     mult = jax.jit(st.ev.multiply)
     out = mult(st.a64, st.b64)
+    jax.block_until_ready(out.data)
+    detail["compile_load"] = round(time.monotonic() - t, 1)
+    t = time.monotonic()
     _gate(
         "ctct_mult",
         np.real(st.decryptor.decrypt(replace(out, data=out.data[0]))),
         st.va * st.vb,
         EPS,
     )
+    detail["gate"] = round(time.monotonic() - t, 1)
+    t = time.monotonic()
     ops = BATCH * _throughput(mult, lambda o: o.data, st.a64, st.b64)
+    detail["measure"] = round(time.monotonic() - t, 1)
+    RESULT["timings"]["headline_detail"] = detail
     RESULT["value"] = round(ops, 1)
     RESULT["vs_baseline"] = round(ops / SEAL_SINGLE_CORE_MULTS_PER_SEC, 2)
     return st
