@@ -100,29 +100,63 @@ class BfvEncryptor:
         self._rng = ChaChaRng(
             seed if seed is not None else os.urandom(32), stream=0xBF5
         )
+        self._jit = None  # jitted device encryption (single level in BFV)
+
+    def _enc_fn(self):
+        """Device side of encryption as ONE cached executable (same
+        rationale as CkksEncryptor._enc_fn: eager dispatch chains are
+        latency-bound over the tunneled chip)."""
+        if self._jit is None:
+            import jax
+
+            ctx = self.ctx
+            L = ctx.L
+
+            def impl(pt_data, u_res, e0_res, e1_res, pkb, pka):
+                u = ctx.plan.fwd(u_res, lo=0)
+                e0 = ctx.plan.fwd(e0_res, lo=0)
+                e1 = ctx.plan.fwd(e1_res, lo=0)
+                p, pni = ctx.consts(0, L)
+                dm = modops.shoup_mul(
+                    pt_data, ctx.delta_plain, ctx.delta_shoup, p
+                )
+                c0 = modops.mod_add(
+                    modops.mod_add(
+                        modops.mont_mul(pkb[:L], u, p, pni), e0, p
+                    ),
+                    dm,
+                    p,
+                )
+                c1 = modops.mod_add(
+                    modops.mont_mul(pka[:L], u, p, pni), e1, p
+                )
+                return jnp.stack([c0, c1])
+
+            self._jit = jax.jit(impl)
+        return self._jit
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
         """c = (Δ·m + pk_b·u + e0, pk_a·u + e1), NTT Montgomery at rest."""
         ctx = self.ctx
         L = ctx.L
         pk = self.keys.public
-        u = _to_ntt_mont(ctx, sample_ternary(self._rng, ctx.n), slice(0, L))
-        e0 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
-        e1 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
-        p, pni = ctx.consts(0, L)
-        dm = modops.shoup_mul(
-            pt.data, ctx.delta_plain, ctx.delta_shoup, p
+        primes = ctx.primes[:L]
+
+        def res(coeffs):
+            return core.rns_to_mont(
+                core.int_poly_to_rns(coeffs, primes), primes
+            )
+
+        data = self._enc_fn()(
+            pt.data,
+            jnp.asarray(res(sample_ternary(self._rng, ctx.n))),
+            jnp.asarray(res(sample_error(self._rng, ctx.n))),
+            jnp.asarray(res(sample_error(self._rng, ctx.n))),
+            pk.b,
+            pk.a,
         )
-        c0 = modops.mod_add(
-            modops.mod_add(
-                modops.mont_mul(pk.b[:L], u, p, pni), e0, p
-            ),
-            dm,
-            p,
-        )
-        c1 = modops.mod_add(modops.mont_mul(pk.a[:L], u, p, pni), e1, p)
         return core.Ciphertext(
-            data=jnp.stack([c0, c1]), level=L, scale=1.0, is_ntt=True
+            data=data, level=L, scale=1.0, is_ntt=True
         )
 
 

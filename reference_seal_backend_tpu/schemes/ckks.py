@@ -113,26 +113,60 @@ class CkksEncryptor:
         self._rng = ChaChaRng(
             seed if seed is not None else os.urandom(32), stream=0xE4C
         )
+        self._jits = {}  # level -> jitted device encryption
+
+    def _enc_fn(self, L: int):
+        """Whole device side of encryption (3 forward NTTs + pk
+        arithmetic) as ONE cached executable per level — eagerly this was
+        ~50 dispatches, each latency-bound over the tunneled chip."""
+        fn = self._jits.get(L)
+        if fn is None:
+            import jax
+
+            ctx = self.ctx
+
+            def impl(pt_data, u_res, e0_res, e1_res, pkb, pka):
+                u = ctx.plan.fwd(u_res, lo=0)
+                e0 = ctx.plan.fwd(e0_res, lo=0)
+                e1 = ctx.plan.fwd(e1_res, lo=0)
+                p, pni = ctx.consts(0, L)
+                c0 = modops.mod_add(
+                    modops.mod_add(
+                        modops.mont_mul(pkb[:L], u, p, pni), e0, p
+                    ),
+                    pt_data,
+                    p,
+                )
+                c1 = modops.mod_add(
+                    modops.mont_mul(pka[:L], u, p, pni), e1, p
+                )
+                return jnp.stack([c0, c1])
+
+            fn = self._jits[L] = jax.jit(impl)
+        return fn
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
         """Public-key encryption of an encoded plaintext."""
         ctx = self.ctx
         L = pt.level
         pk = self.keys.public
-        u = _to_ntt_mont(ctx, sample_ternary(self._rng, ctx.n), slice(0, L))
-        e0 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
-        e1 = _to_ntt_mont(ctx, sample_error(self._rng, ctx.n), slice(0, L))
-        p, pni = ctx.consts(0, L)
-        c0 = modops.mod_add(
-            modops.mod_add(
-                modops.mont_mul(pk.b[:L], u, p, pni), e0, p
-            ),
+        primes = ctx.primes[:L]
+
+        def res(coeffs):
+            return core.rns_to_mont(
+                core.int_poly_to_rns(coeffs, primes), primes
+            )
+
+        data = self._enc_fn(L)(
             pt.data,
-            p,
+            jnp.asarray(res(sample_ternary(self._rng, ctx.n))),
+            jnp.asarray(res(sample_error(self._rng, ctx.n))),
+            jnp.asarray(res(sample_error(self._rng, ctx.n))),
+            pk.b,
+            pk.a,
         )
-        c1 = modops.mod_add(modops.mont_mul(pk.a[:L], u, p, pni), e1, p)
         return core.Ciphertext(
-            data=jnp.stack([c0, c1]), level=L, scale=pt.scale, is_ntt=True
+            data=data, level=L, scale=pt.scale, is_ntt=True
         )
 
     def encrypt_zero(self, level: int, scale: float) -> core.Ciphertext:

@@ -126,12 +126,21 @@ def sample_error(rng, n: int) -> np.ndarray:
     return np.clip(e, -19, 19)
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_jit(ctx: Context, lo: int):
+    """Jitted forward NTT for the host->device conversion path: eagerly
+    each transform is ~14 stages of separate dispatches, and over the
+    tunneled chip every dispatch carries ~0.2-0.5 s latency — encode/
+    encrypt setup was paying tens of seconds per benchmark step."""
+    return jax.jit(lambda res: ctx.plan.fwd(res, lo=lo))
+
+
 def _to_ntt_mont(ctx: Context, coeffs: np.ndarray, rows: slice) -> jnp.ndarray:
     """Signed int coefficients -> device NTT Montgomery rows of the stack."""
     primes = ctx.primes[rows]
     res = core.rns_to_mont(core.int_poly_to_rns(coeffs, primes), primes)
     lo = rows.start or 0
-    return ctx.plan.fwd(jnp.asarray(res), lo=lo)
+    return _fwd_jit(ctx, lo)(jnp.asarray(res))
 
 
 def _uniform_ntt(
