@@ -84,15 +84,16 @@ EPS = 5e-5      # the reference's CKKS decode epsilon
 BUDGET_S = float(os.environ.get("RSB_TPU_BENCH_BUDGET_S", "420"))
 RESERVE_S = 5.0  # tail reserve for emits/teardown
 # Measured warm-persistent-cache headline duration (context + full
-# keygen incl. relin + 7 rotation keys + encrypt + cache-hit executable
-# load + 2 s measurement; observed 80.7-93.8 s over the 2026-08-21 round-5
-# chip runs with the jitted-decrypt gate).  Setup, not measurement, is
-# the cost: the tunneled chip's per-step wall time is dominated by fixed
-# overheads and minute-scale RANDOM I/O stalls (BASELINE.md §"Bench
-# wall-clock anatomy") — the cold factor calibrated from the headline
-# scales every later estimate so a stalled or cold-cache run skips steps
-# instead of overrunning the driver.
-WARM_HEADLINE_S = 88.0
+# keygen incl. relin + 7 rotation keys + jitted encrypt + cache-hit
+# executable load + jitted-decrypt gate + 2 s measurement; observed
+# 51.6 s after the round-5 encrypt-path jit, from 80-156 s before it —
+# the instrumented headline_detail in every record carries the split).
+# Setup, not measurement, is the cost: the tunneled chip's per-step wall
+# time is dominated by fixed overheads and minute-scale RANDOM I/O
+# stalls (BASELINE.md §"Bench wall-clock anatomy") — the cold factor
+# calibrated from the headline scales every later estimate so a stalled
+# or cold-cache run skips steps instead of overrunning the driver.
+WARM_HEADLINE_S = 55.0
 _T0 = time.monotonic()
 
 RESULT: dict = {
@@ -546,11 +547,11 @@ def main() -> None:
     steps = [
         ("ckks_mult_relin_rescale",
          lambda: ks_mult_relin_rescale(st, extras), 25.0),
-        ("ckks_rotate", lambda: ks_rotate(st, extras), 45.0),
-        ("ckks_dot_n100", lambda: dot_latency(extras), 80.0),
+        ("ckks_rotate", lambda: ks_rotate(st, extras), 50.0),
+        ("ckks_dot_n100", lambda: dot_latency(extras), 60.0),
         ("ckks_eltwise_mult_offline",
-         lambda: eltwise_mult_offline(extras), 60.0),
-        ("ckks_rotate_sum8", lambda: ks_rotate_sum(st, extras), 120.0),
+         lambda: eltwise_mult_offline(extras), 40.0),
+        ("ckks_rotate_sum8", lambda: ks_rotate_sum(st, extras), 150.0),
         (
             "ckks_logreg_n16384",
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
