@@ -19,7 +19,7 @@ N=16384 context+keygen and sat behind a step that stalled for 193 s):
      immediately.
   2. Run the three key-switch metrics FIRST among the extras: they reuse
      the headline's context/keyset/operands, so each costs one
-     executable load + a 2 s measurement loop, not a fresh keygen.  The
+     executable load + a bounded-chunk measurement, not a fresh keygen.  The
      stall-prone dot-product step (193.6 s in the r04 driver run) runs
      after them.  Every step sits behind its own correctness gate AND a
      wall-clock budget check (``RSB_TPU_BENCH_BUDGET_S``, default
@@ -85,15 +85,16 @@ BUDGET_S = float(os.environ.get("RSB_TPU_BENCH_BUDGET_S", "420"))
 RESERVE_S = 5.0  # tail reserve for emits/teardown
 # Measured warm-persistent-cache headline duration (context + full
 # keygen incl. relin + 7 rotation keys + jitted encrypt + cache-hit
-# executable load + jitted-decrypt gate + 2 s measurement; observed
-# 51.6 s after the round-5 encrypt-path jit, from 80-156 s before it —
-# the instrumented headline_detail in every record carries the split).
+# executable load + jitted-decrypt gate + chunked ~8 s measurement; the
+# instrumented headline_detail in every record carries the split.  The
+# bounded-chunk _throughput cut the measure phase from 35 s of queue
+# drain to ~12 s).
 # Setup, not measurement, is the cost: the tunneled chip's per-step wall
 # time is dominated by fixed overheads and minute-scale RANDOM I/O
 # stalls (BASELINE.md §"Bench wall-clock anatomy") — the cold factor
 # calibrated from the headline scales every later estimate so a stalled
 # or cold-cache run skips steps instead of overrunning the driver.
-WARM_HEADLINE_S = 55.0
+WARM_HEADLINE_S = 45.0
 _T0 = time.monotonic()
 
 RESULT: dict = {
@@ -174,19 +175,42 @@ def _emit() -> None:
     print(line, flush=True)
 
 
-def _throughput(fn, out_of, *args, min_s: float = 2.0, min_iters: int = 5):
-    """ops/sec of fn(*args), blocking on the returned pytree."""
+def _throughput(fn, out_of, *args, min_s: float = 4.0, chunk0: int = 64,
+                max_iters: int = 200_000):
+    """calls/sec of fn(*args) via bounded adaptive chunks.
+
+    The old loop enqueued unblocked dispatches for 2 s of HOST wall and
+    then drained the async queue once: over the tunneled chip the host
+    enqueues dispatches 20-30x faster than the device retires them, so
+    the drain ran tens of seconds to minutes per metric (~90% of the
+    rotate_sum8 step's 145 s warm wall was queue drain; the headline's
+    measure phase was 35 s for 2 s of enqueue).  Chunked: each round
+    enqueues a BOUNDED batch and blocks once; the next chunk size is
+    rescaled from the measured rate to land ~``min_s`` of device time,
+    so the whole measurement costs ~2-3 round trips + ``min_s`` instead
+    of an unbounded drain.  The reported rate is the best chunk rate
+    with >= 1 s of wall: each block pays one tunnel round trip
+    (~0.2-0.5 s), so sub-second chunks are round-trip-dominated, and a
+    random tunnel stall in the final chunk falls back to the cleanest
+    earlier chunk instead of polluting the metric.  The remaining bias
+    is one round trip over >= min_s of device time (a few % low —
+    conservative, never overclaiming)."""
     out = fn(*args)
-    jax.block_until_ready(out_of(out))  # compile + warmup
-    iters = 0
-    t0 = time.perf_counter()
+    jax.block_until_ready(out_of(out))  # compile/load + warmup
+    k, best = chunk0, 0.0
     while True:
-        out = fn(*args)
-        iters += 1
-        if iters >= min_iters and (time.perf_counter() - t0) > min_s:
-            break
-    jax.block_until_ready(out_of(out))
-    return iters / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        jax.block_until_ready(out_of(out))
+        wall = time.perf_counter() - t0
+        if wall >= 1.0:
+            best = max(best, k / wall)
+        if (wall >= min_s and best > 0.0) or k >= max_iters:
+            return best if best > 0.0 else k / wall
+        # aim the next chunk ~20% past min_s of device time (the
+        # overshoot absorbs the round-trip share of the measured wall)
+        k = min(max_iters, max(k + 1, int(k * min_s * 1.2 / max(wall, 1e-3))))
 
 
 def _latency_ms(fn, out_of, *args, reps: int = 10):
@@ -214,7 +238,7 @@ class _State:
     """Context/keys/operands shared by the headline AND the three
     key-switch metrics: ONE device-resident keygen (relin + the 7
     rotation keys 5^1..5^7) paid inside the headline step, so each
-    key-switch metric's marginal cost is one executable load + a 2 s
+    key-switch metric's marginal cost is one executable load + a bounded
     measurement loop — the r04 structure paid a second N=16384
     context+keygen for them and the 420 s driver budget starved
     (VERDICT r4 item 1)."""
@@ -265,7 +289,9 @@ def headline() -> "_State":
     )
     detail["gate"] = round(time.monotonic() - t, 1)
     t = time.monotonic()
-    ops = BATCH * _throughput(mult, lambda o: o.data, st.a64, st.b64)
+    # min_s=8 on the headline: the one-round-trip bias shrinks with
+    # chunk length, and the headline is the number vs_baseline quotes
+    ops = BATCH * _throughput(mult, lambda o: o.data, st.a64, st.b64, min_s=8.0)
     detail["measure"] = round(time.monotonic() - t, 1)
     RESULT["timings"]["headline_detail"] = detail
     RESULT["value"] = round(ops, 1)
@@ -536,46 +562,47 @@ def main() -> None:
     _emit()  # headline recorded — everything past this point is bonus
 
     # (metric name, fn, estimated WARM cost in seconds — measured
-    # per-step walls from the 2026-08-21 round-5 chip runs with a hot
-    # persistent cache, keys-as-arguments executables and the jitted
-    # decrypt gate).  Order is CHEAPEST-FIRST by measured warm wall so a
-    # squeezed budget keeps the most metrics; the first two reuse the
-    # headline's context/keys at pure marginal cost.  The budget check
-    # scales each estimate by the calibrated cold factor and keeps
-    # checking later steps after a skip; `timings` carries what each
-    # step actually took.
+    # per-step walls of the 2026-08-21 full run under the bounded-chunk
+    # _throughput and single-dispatch batched encryption; that run still
+    # paid the batched-encrypt graphs' first remote compiles, so these
+    # are upper bounds for a warm run).  Order is CHEAPEST-FIRST by
+    # estimated warm wall so a squeezed budget keeps the most metrics;
+    # the key-switch steps reuse the headline's context/keys at pure
+    # marginal cost.  The budget check scales each estimate by the
+    # calibrated cold factor and keeps checking later steps after a
+    # skip; `timings` carries what each step actually took.
     steps = [
+        ("ckks_rotate_sum8", lambda: ks_rotate_sum(st, extras), 15.0),
+        ("ckks_rotate", lambda: ks_rotate(st, extras), 20.0),
         ("ckks_mult_relin_rescale",
          lambda: ks_mult_relin_rescale(st, extras), 25.0),
-        ("ckks_rotate", lambda: ks_rotate(st, extras), 50.0),
-        ("ckks_dot_n100", lambda: dot_latency(extras), 60.0),
         ("ckks_eltwise_mult_offline",
-         lambda: eltwise_mult_offline(extras), 40.0),
-        ("ckks_rotate_sum8", lambda: ks_rotate_sum(st, extras), 150.0),
+         lambda: eltwise_mult_offline(extras), 30.0),
+        ("bfv_behz_mult", lambda: bfv_suite(extras), 35.0),
+        ("ckks_dot_n100", lambda: dot_latency(extras), 40.0),
         (
             "ckks_logreg_n16384",
             lambda: logreg_latency(extras, 16384, "ckks_logreg_n16384_latency_ms"),
-            130.0,
+            95.0,
         ),
-        ("bfv_behz_mult", lambda: bfv_suite(extras), 170.0),
         (
             "ckks_logreg_n32768",
             lambda: logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms"),
-            210.0,
+            150.0,
         ),
         (
             "ckks_logreg_offline_b100",
             lambda: logreg_offline(
                 extras, 16384, "ckks_logreg_offline_b100_samples_per_sec_n16384"
             ),
-            290.0,
+            180.0,
         ),
         (
             "ckks_logreg_offline_b100_n32768",
             lambda: logreg_offline(
                 extras, 32768, "ckks_logreg_offline_b100_samples_per_sec_n32768"
             ),
-            300.0,
+            205.0,
         ),
     ]
     for name, fn, warm_est in steps:

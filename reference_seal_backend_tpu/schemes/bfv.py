@@ -130,13 +130,19 @@ class BfvEncryptor:
                 c1 = modops.mod_add(
                     modops.mont_mul(pka[:L], u, p, pni), e1, p
                 )
-                return jnp.stack([c0, c1])
+                # axis=-3 keeps [..., size, L, N] under leading batch axes
+                return jnp.stack([c0, c1], axis=-3)
 
             self._jit = jax.jit(impl)
         return self._jit
 
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
-        """c = (Δ·m + pk_b·u + e0, pk_a·u + e1), NTT Montgomery at rest."""
+        """c = (Δ·m + pk_b·u + e0, pk_a·u + e1), NTT Montgomery at rest.
+
+        ``pt.data`` may carry leading batch axes ``[..., L, N]``: one
+        jitted dispatch + three uploads for the whole batch, with the
+        ChaCha draw order of the per-sample loop preserved (see
+        CkksEncryptor.encrypt_pt)."""
         ctx = self.ctx
         L = ctx.L
         pk = self.keys.public
@@ -147,13 +153,22 @@ class BfvEncryptor:
                 core.int_poly_to_rns(coeffs, primes), primes
             )
 
+        lead = pt.data.shape[:-2]
+        B = int(np.prod(lead)) if lead else 1
+        trips = [
+            tuple(
+                res(draw(self._rng, ctx.n))
+                for draw in (sample_ternary, sample_error, sample_error)
+            )
+            for _ in range(B)
+        ]
+
+        def stacked(j):
+            a = np.stack([t[j] for t in trips])
+            return jnp.asarray(a.reshape(tuple(lead) + a.shape[1:]))
+
         data = self._enc_fn()(
-            pt.data,
-            jnp.asarray(res(sample_ternary(self._rng, ctx.n))),
-            jnp.asarray(res(sample_error(self._rng, ctx.n))),
-            jnp.asarray(res(sample_error(self._rng, ctx.n))),
-            pk.b,
-            pk.a,
+            pt.data, stacked(0), stacked(1), stacked(2), pk.b, pk.a
         )
         return core.Ciphertext(
             data=data, level=L, scale=1.0, is_ntt=True

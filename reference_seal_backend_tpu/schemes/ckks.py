@@ -140,16 +140,17 @@ class CkksEncryptor:
                 c1 = modops.mod_add(
                     modops.mont_mul(pka[:L], u, p, pni), e1, p
                 )
-                return jnp.stack([c0, c1])
+                # axis=-3 keeps the ciphertext [..., size, L, N] layout
+                # under leading batch axes (equals axis 0 when unbatched)
+                return jnp.stack([c0, c1], axis=-3)
 
             fn = self._jits[L] = jax.jit(impl)
         return fn
 
-    def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
-        """Public-key encryption of an encoded plaintext."""
+    def _sampled_res(self, lead, L: int):
+        """Sample (u, e0, e1) per batch element — same ChaCha draw order
+        as per-sample encryption — RNS-lifted and stacked to ``lead``."""
         ctx = self.ctx
-        L = pt.level
-        pk = self.keys.public
         primes = ctx.primes[:L]
 
         def res(coeffs):
@@ -157,14 +158,38 @@ class CkksEncryptor:
                 core.int_poly_to_rns(coeffs, primes), primes
             )
 
-        data = self._enc_fn(L)(
-            pt.data,
-            jnp.asarray(res(sample_ternary(self._rng, ctx.n))),
-            jnp.asarray(res(sample_error(self._rng, ctx.n))),
-            jnp.asarray(res(sample_error(self._rng, ctx.n))),
-            pk.b,
-            pk.a,
-        )
+        B = int(np.prod(lead)) if lead else 1
+        trips = [
+            tuple(
+                res(draw(self._rng, ctx.n))
+                for draw in (sample_ternary, sample_error, sample_error)
+            )
+            for _ in range(B)
+        ]
+
+        def stacked(j):
+            a = np.stack([t[j] for t in trips])
+            return jnp.asarray(a.reshape(tuple(lead) + a.shape[1:]))
+
+        return stacked(0), stacked(1), stacked(2)
+
+    def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
+        """Public-key encryption of an encoded plaintext.
+
+        ``pt.data`` may carry leading batch axes ``[..., L, N]``: the
+        whole batch is ONE jitted dispatch and three host->device
+        uploads.  The per-sample loop this replaces paid 3 uploads + 1
+        dispatch per sample — hundreds of stall-prone tunnel transfers
+        for an Offline batch-100 (the reference's per-sample OpenMP
+        encrypt loop, /root/reference
+        src/benchmarks/ckks/seal_ckks_element_wise_benchmark.cpp:277-304,
+        becomes a batched device graph here).  ChaCha draw order matches
+        the loop exactly, so results are bit-identical either way."""
+        ctx = self.ctx
+        L = pt.level
+        pk = self.keys.public
+        u, e0, e1 = self._sampled_res(pt.data.shape[:-2], L)
+        data = self._enc_fn(L)(pt.data, u, e0, e1, pk.b, pk.a)
         return core.Ciphertext(
             data=data, level=L, scale=pt.scale, is_ntt=True
         )
