@@ -208,9 +208,11 @@ def _throughput(fn, out_of, *args, min_s: float = 4.0, chunk0: int = 64,
             best = max(best, k / wall)
         if (wall >= min_s and best > 0.0) or k >= max_iters:
             return best if best > 0.0 else k / wall
-        # aim the next chunk ~20% past min_s of device time (the
-        # overshoot absorbs the round-trip share of the measured wall)
-        k = min(max_iters, max(k + 1, int(k * min_s * 1.2 / max(wall, 1e-3))))
+        # aim the next chunk ~35% past min_s of device time: the
+        # overshoot absorbs the round-trip share of the measured wall
+        # and avoids a near-miss chunk (observed: a 7.6 s chunk against
+        # min_s=8 forced one extra full-size round)
+        k = min(max_iters, max(k + 1, int(k * min_s * 1.35 / max(wall, 1e-3))))
 
 
 def _latency_ms(fn, out_of, *args, reps: int = 10):
@@ -588,14 +590,17 @@ def main() -> None:
         (
             "ckks_logreg_n32768",
             lambda: logreg_latency(extras, 32768, "ckks_logreg_n32768_latency_ms"),
-            150.0,
+            # warm minimum 105.9 s; the 156 s 2026-08-21 wall included
+            # the batched-encrypt graph's first remote compile
+            130.0,
         ),
         (
             "ckks_logreg_offline_b100",
             lambda: logreg_offline(
                 extras, 16384, "ckks_logreg_offline_b100_samples_per_sec_n16384"
             ),
-            180.0,
+            # warm minimum 111.8 s (186.9 s run included first compiles)
+            140.0,
         ),
         (
             "ckks_logreg_offline_b100_n32768",
