@@ -197,7 +197,7 @@ def _throughput(fn, out_of, *args, min_s: float = 4.0, chunk0: int = 64,
     conservative, never overclaiming)."""
     out = fn(*args)
     jax.block_until_ready(out_of(out))  # compile/load + warmup
-    k, best = chunk0, 0.0
+    k, best, qual, had_long = chunk0, 0.0, 0, False
     while True:
         t0 = time.perf_counter()
         for _ in range(k):
@@ -206,8 +206,24 @@ def _throughput(fn, out_of, *args, min_s: float = 4.0, chunk0: int = 64,
         wall = time.perf_counter() - t0
         if wall >= 1.0:
             best = max(best, k / wall)
-        if (wall >= min_s and best > 0.0) or k >= max_iters:
+            qual += 1
+        if wall >= min_s or k >= max_iters:
+            had_long = True
+        # Terminate only once TWO chunks qualified: a random tunnel
+        # stall inside the single long chunk would otherwise both end
+        # the loop and BE the reported rate, with nothing cleaner to
+        # fall back to.  The second qualifier is usually a ramp chunk
+        # that already ran; when it is not, one short (~1.5 s)
+        # confirmation chunk supplies it.
+        if had_long and (qual >= 2 or k >= max_iters):
             return best if best > 0.0 else k / wall
+        if had_long:
+            # confirmation sizing from the best rate seen; double on a
+            # sub-second result (a stalled long chunk underestimates the
+            # rate, making the first confirmation guess too small)
+            k = min(max_iters, max(k * 2 if wall < 1.0 else 1,
+                                   int(max(best, k / wall) * 1.5)))
+            continue
         # aim the next chunk ~35% past min_s of device time: the
         # overshoot absorbs the round-trip share of the measured wall
         # and avoids a near-miss chunk (observed: a 7.6 s chunk against
@@ -563,11 +579,12 @@ def main() -> None:
     RESULT["cold_factor"] = round(factor, 2)
     _emit()  # headline recorded — everything past this point is bonus
 
-    # (metric name, fn, estimated WARM cost in seconds — measured
-    # per-step walls of the 2026-08-21 full run under the bounded-chunk
-    # _throughput and single-dispatch batched encryption; that run still
-    # paid the batched-encrypt graphs' first remote compiles, so these
-    # are upper bounds for a warm run).  Order is CHEAPEST-FIRST by
+    # (metric name, fn, estimated WARM cost in seconds — set at or above
+    # the per-step MINIMA across the 2026-08-21 bounded-chunk chip runs
+    # (full-budget run + 420 s rehearsal; bench_suite.json `timings`),
+    # which bound the warm wall from below; individual walls above the
+    # estimate are stall/first-compile noise, which the budget check
+    # absorbs by re-checking after every step).  Order is CHEAPEST-FIRST by
     # estimated warm wall so a squeezed budget keeps the most metrics;
     # the key-switch steps reuse the headline's context/keys at pure
     # marginal cost.  The budget check scales each estimate by the

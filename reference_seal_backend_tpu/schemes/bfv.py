@@ -27,6 +27,7 @@ from reference_seal_backend_tpu.ops import modops
 from reference_seal_backend_tpu.schemes import core
 from reference_seal_backend_tpu.schemes.keys import (
     KeySet,
+    batched_enc_randomness,
     sample_error,
     sample_ternary,
     _to_ntt_mont,
@@ -146,30 +147,10 @@ class BfvEncryptor:
         ctx = self.ctx
         L = ctx.L
         pk = self.keys.public
-        primes = ctx.primes[:L]
-
-        def res(coeffs):
-            return core.rns_to_mont(
-                core.int_poly_to_rns(coeffs, primes), primes
-            )
-
-        lead = pt.data.shape[:-2]
-        B = int(np.prod(lead)) if lead else 1
-        trips = [
-            tuple(
-                res(draw(self._rng, ctx.n))
-                for draw in (sample_ternary, sample_error, sample_error)
-            )
-            for _ in range(B)
-        ]
-
-        def stacked(j):
-            a = np.stack([t[j] for t in trips])
-            return jnp.asarray(a.reshape(tuple(lead) + a.shape[1:]))
-
-        data = self._enc_fn()(
-            pt.data, stacked(0), stacked(1), stacked(2), pk.b, pk.a
+        u, e0, e1 = batched_enc_randomness(
+            self._rng, ctx, ctx.primes[:L], pt.data.shape[:-2]
         )
+        data = self._enc_fn()(pt.data, u, e0, e1, pk.b, pk.a)
         return core.Ciphertext(
             data=data, level=L, scale=1.0, is_ntt=True
         )

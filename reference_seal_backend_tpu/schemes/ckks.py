@@ -29,6 +29,7 @@ from reference_seal_backend_tpu.schemes import core
 from reference_seal_backend_tpu.schemes.keys import (
     KeySet,
     PublicKey,
+    batched_enc_randomness,
     sample_error,
     sample_ternary,
     _to_ntt_mont,
@@ -147,32 +148,6 @@ class CkksEncryptor:
             fn = self._jits[L] = jax.jit(impl)
         return fn
 
-    def _sampled_res(self, lead, L: int):
-        """Sample (u, e0, e1) per batch element — same ChaCha draw order
-        as per-sample encryption — RNS-lifted and stacked to ``lead``."""
-        ctx = self.ctx
-        primes = ctx.primes[:L]
-
-        def res(coeffs):
-            return core.rns_to_mont(
-                core.int_poly_to_rns(coeffs, primes), primes
-            )
-
-        B = int(np.prod(lead)) if lead else 1
-        trips = [
-            tuple(
-                res(draw(self._rng, ctx.n))
-                for draw in (sample_ternary, sample_error, sample_error)
-            )
-            for _ in range(B)
-        ]
-
-        def stacked(j):
-            a = np.stack([t[j] for t in trips])
-            return jnp.asarray(a.reshape(tuple(lead) + a.shape[1:]))
-
-        return stacked(0), stacked(1), stacked(2)
-
     def encrypt_pt(self, pt: core.Plaintext) -> core.Ciphertext:
         """Public-key encryption of an encoded plaintext.
 
@@ -188,7 +163,9 @@ class CkksEncryptor:
         ctx = self.ctx
         L = pt.level
         pk = self.keys.public
-        u, e0, e1 = self._sampled_res(pt.data.shape[:-2], L)
+        u, e0, e1 = batched_enc_randomness(
+            self._rng, ctx, ctx.primes[:L], pt.data.shape[:-2]
+        )
         data = self._enc_fn(L)(pt.data, u, e0, e1, pk.b, pk.a)
         return core.Ciphertext(
             data=data, level=L, scale=pt.scale, is_ntt=True

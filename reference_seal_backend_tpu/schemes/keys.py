@@ -126,6 +126,34 @@ def sample_error(rng, n: int) -> np.ndarray:
     return np.clip(e, -19, 19)
 
 
+def batched_enc_randomness(rng, ctx: Context, primes, lead):
+    """Encryption randomness (u, e0, e1) for a ``lead``-shaped batch,
+    RNS-lifted to Montgomery and stacked to ``lead + (len(primes), N)``.
+
+    Draw order matches per-sample encryption exactly (u, e0, e1 per
+    sample, batch order), so batched and looped encryption are
+    bit-identical under one seed.  Shared by both schemes'
+    ``encrypt_pt`` (ckks.py / bfv.py)."""
+
+    def res(coeffs):
+        return core.rns_to_mont(core.int_poly_to_rns(coeffs, primes), primes)
+
+    B = int(np.prod(lead)) if lead else 1
+    trips = [
+        tuple(
+            res(draw(rng, ctx.n))
+            for draw in (sample_ternary, sample_error, sample_error)
+        )
+        for _ in range(B)
+    ]
+
+    def stacked(j):
+        a = np.stack([t[j] for t in trips])
+        return jnp.asarray(a.reshape(tuple(lead) + a.shape[1:]))
+
+    return stacked(0), stacked(1), stacked(2)
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_jit(ctx: Context, lo: int):
     """Jitted forward NTT for the host->device conversion path: eagerly
